@@ -1,0 +1,119 @@
+"""Evaluation metrics: Dice / mIoU composites on device, HD95 on host.
+
+Composites over BraTS regions (utils/tools.py:89-109; labels post 4->3 remap):
+  WT (whole tumor)     = label > 0
+  TC (tumor core)      = label in {1, 3}
+  ET (enhancing tumor) = label == 3
+
+HD95 replaces the reference's medpy dependency (utils/hausdorff.py:106-123,
+medpy.metric.hd95) with the same algorithm on scipy: surface extraction via
+binary erosion, Euclidean distance transform, 95th-percentile symmetric
+surface distance; degenerate masks (empty or full, either side) return 0 as
+the reference's ConfusionMatrix guard does (utils/hausdorff.py:9-99).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+try:  # scipy is available in this image; guard anyway
+    from scipy import ndimage as _ndi
+except ImportError:  # pragma: no cover
+    _ndi = None
+
+
+def dice_score(o, t, eps: float = 1e-8) -> float:
+    """2|o*t| / (|o|+|t|+eps) on boolean arrays (utils/tools.py:44-47)."""
+    o = np.asarray(o)
+    t = np.asarray(t)
+    num = 2.0 * (o * t).sum() + eps
+    den = o.sum() + t.sum() + eps
+    return float(num / den)
+
+
+def miou_score(o, t, eps: float = 1e-8) -> float:
+    """|o&t| / |o|t| (utils/tools.py:51-54)."""
+    o = np.asarray(o).astype(bool)
+    t = np.asarray(t).astype(bool)
+    num = (o & t).sum() + eps
+    den = (o | t).sum() + eps
+    return float(num / den)
+
+
+def _composites(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return x > 0, (x == 1) | (x == 3), x == 3
+
+
+def softmax_output_dice(output: np.ndarray, target: np.ndarray) -> List[float]:
+    """[WT, TC, ET] dice (utils/tools.py:89-109)."""
+    return [dice_score(o, t)
+            for o, t in zip(_composites(output), _composites(target))]
+
+
+def softmax_output_miou(output: np.ndarray, target: np.ndarray) -> List[float]:
+    """[WT, TC, ET] mIoU (predict_simple.py:100-119)."""
+    return [miou_score(o, t)
+            for o, t in zip(_composites(output), _composites(target))]
+
+
+def softmax_miou_score(output: np.ndarray, target: np.ndarray) -> List[float]:
+    """Per-label (1, 2, 3) mIoU (utils/tools.py:57-62)."""
+    return [miou_score(output == c, target == c) for c in (1, 2, 3)]
+
+
+def _surface(mask: np.ndarray, connectivity: int = 1) -> np.ndarray:
+    footprint = _ndi.generate_binary_structure(mask.ndim, connectivity)
+    eroded = _ndi.binary_erosion(mask, structure=footprint, iterations=1)
+    return mask & ~eroded
+
+
+def _surface_distances(test: np.ndarray, reference: np.ndarray,
+                       voxel_spacing=None, connectivity: int = 1) -> np.ndarray:
+    """Distances from each surface voxel of ``test`` to the nearest surface
+    voxel of ``reference`` (the medpy __surface_distances algorithm)."""
+    test_border = _surface(test, connectivity)
+    ref_border = _surface(reference, connectivity)
+    dt = _ndi.distance_transform_edt(~ref_border, sampling=voxel_spacing)
+    return dt[test_border]
+
+
+def hausdorff_distance_95(test, reference, voxel_spacing=None,
+                          connectivity: int = 1,
+                          nan_for_nonexisting: bool = False) -> float:
+    """Symmetric 95th-percentile Hausdorff distance.
+
+    Matches utils/hausdorff.py:106-123: degenerate inputs (either mask empty
+    or full) return 0 (or NaN when requested) instead of raising.
+    """
+    test = np.asarray(test).astype(bool)
+    reference = np.asarray(reference).astype(bool)
+    degenerate = (not test.any() or test.all()
+                  or not reference.any() or reference.all())
+    if degenerate:
+        return float("nan") if nan_for_nonexisting else 0.0
+    d1 = _surface_distances(test, reference, voxel_spacing, connectivity)
+    d2 = _surface_distances(reference, test, voxel_spacing, connectivity)
+    return float(max(np.percentile(d1, 95), np.percentile(d2, 95)))
+
+
+def hausdorff_distance(test, reference, voxel_spacing=None,
+                       connectivity: int = 1,
+                       nan_for_nonexisting: bool = False) -> float:
+    """Max symmetric surface distance (utils/hausdorff.py:88-103)."""
+    test = np.asarray(test).astype(bool)
+    reference = np.asarray(reference).astype(bool)
+    degenerate = (not test.any() or test.all()
+                  or not reference.any() or reference.all())
+    if degenerate:
+        return float("nan") if nan_for_nonexisting else 0.0
+    d1 = _surface_distances(test, reference, voxel_spacing, connectivity)
+    d2 = _surface_distances(reference, test, voxel_spacing, connectivity)
+    return float(max(d1.max(), d2.max()))
+
+
+def cal_hausdorff(output: np.ndarray, target: np.ndarray) -> List[float]:
+    """[WT, TC, ET] HD95 (predict_simple.py:122-144)."""
+    return [hausdorff_distance_95(o, t)
+            for o, t in zip(_composites(output), _composites(target))]

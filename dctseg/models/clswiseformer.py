@@ -1,0 +1,230 @@
+"""ClsWiseFormer: decouple-and-couple 3D segmentation network, TPU-native.
+
+Re-design of the reference model (``models/clswiseformer/cls_wise_former.py``)
+for JAX/XLA on TPU:
+
+  * NDHWC activations, bf16-capable compute, static shapes throughout.
+  * Top-k token routing is a fused gather; scatter-back is a functional
+    batched scatter (``dctseg/ops/routing.py``), removing the reference's
+    per-token ``.item()`` host syncs (cls_wise_former.py:463-479) and the
+    ``fix_index.txt`` asset it loads at construction (:275-278) — the
+    token-id -> scatter-row map is the identity by construction here.
+  * Batch size is a free dimension (the reference pins B=1 via ``[0, ...]``
+    indexing, cls_wise_former.py:347 etc.); at B=1 the computation matches
+    the reference exactly.
+
+Dataflow (reference line refs inline):
+  UNet encoder -> skips + bottleneck (Unet_skipconnection.py:114-144)
+  edge decouple:   downsample skip2, concat skip3, 3x conv+IN+LReLU (:284-300)
+  semantic decouple: 3x conv+IN+LReLU on bottleneck (:314-328)
+  mid supervision heads (:332-333)
+  per class {01,02,04}: patchify; 4x top-k routing against learned class
+    tokens; edge-supported intra-region coupler; scatter-back + class-token
+    gating; unpatchify (:340-543)
+  final supervision heads (:545-546)
+  mutual cross-region coupler over summed class streams (:548-577)
+  sum_fusion conv -> decoder -> softmax seg probs (:582-592)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dctseg.config import ModelConfig
+from dctseg.models.attention import (FusionClsWiseTransformer,
+                                     TwoClsWiseTransformer)
+from dctseg.models.layers import Conv3d, InstanceNormAct
+from dctseg.models.positional import PositionalEncoding
+from dctseg.models.supervise import SuperviseHead
+from dctseg.models.unet import Decoder, UnetEncoder
+from dctseg.ops.patchify import patchify, unpatchify
+from dctseg.ops.routing import scatter_update, topk_select
+
+REGIONS = ("01", "02", "04")
+
+
+def trunc_normal_init(std: float = 0.02):
+    def init(key, shape, dtype=jnp.float32):
+        # torch.nn.init.trunc_normal_(std=0.02) truncates at +-2 std
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    return init
+
+
+class ClsWiseFormer(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        g = cfg.geometry
+        dt = jnp.dtype(cfg.compute_dtype)
+        self.geom = g
+        self.dtype = dt
+
+        self.unet = UnetEncoder(base_channels=cfg.base_channels,
+                                init_dropout=cfg.init_conv_dropout, dtype=dt,
+                                remat=cfg.remat)
+        # edge decouple (cls_wise_former.py:273, 284-300)
+        self.conv_64_to_32 = Conv3d(cfg.base_channels * 2, stride=2, dtype=dt)
+        self.conv_mid = {r: Conv3d(g["edge_ch"], dtype=dt,
+                                   name=f"conv_mid_fea_{r}") for r in REGIONS}
+        self.act_mid = {r: InstanceNormAct(eps=cfg.norm_eps,
+                                           name=f"act_mid_{r}")
+                        for r in REGIONS}
+        # semantic decouple (:314-328)
+        self.conv_sem = {r: Conv3d(g["sem_ch"], dtype=dt,
+                                   name=f"conv_semantic_{r}") for r in REGIONS}
+        self.act_sem = {r: InstanceNormAct(eps=cfg.norm_eps,
+                                           name=f"act_sem_{r}")
+                        for r in REGIONS}
+
+        # class tokens (:232-255)
+        p = g["token_dim"]
+        self.e_tokens = {r: self.param(f"e_token_{r}", trunc_normal_init(),
+                                       (1, 1, p)) for r in REGIONS}
+        self.s_tokens = {r: self.param(f"s_token_{r}", trunc_normal_init(),
+                                       (1, 1, p)) for r in REGIONS}
+
+        self.pos_enc = {r: PositionalEncoding(cfg.pe_type, p,
+                                              name=f"pe_{r}")
+                        for r in REGIONS}
+        self.fusion_pos = PositionalEncoding(cfg.pe_type, p, name="pe_fusion")
+        self.token_drop = nn.Dropout(cfg.dropout_rate)
+
+        self.transformers = {
+            r: TwoClsWiseTransformer(
+                p, cfg.num_heads, cfg.dropout_rate, cfg.attn_dropout_rate,
+                dtype=dt, use_pallas=cfg.use_pallas_attention,
+                name=f"transformer_{r}")
+            for r in REGIONS}
+        self.fusion_transformer = FusionClsWiseTransformer(
+            p, cfg.num_heads, cfg.dropout_rate, cfg.attn_dropout_rate,
+            dtype=dt, use_pallas=cfg.use_pallas_attention,
+            name="fusion_transformer")
+
+        self.supervise_head = SuperviseHead(32, 8, dtype=dt,
+                                            name="supervise_label")
+        self.edge_supervise_head = SuperviseHead(8, 4, dtype=dt,
+                                                 name="edge_supervise_label")
+        self.mid_supervise_head = SuperviseHead(32, 8, dtype=dt,
+                                                name="mid_supervise_label")
+        self.mid_edge_supervise_head = SuperviseHead(
+            8, 4, dtype=dt, name="mid_edge_supervise_label")
+
+        self.sum_fusion = Conv3d(g["bottleneck_ch"], dtype=dt,
+                                 name="sum_fusion")
+        self.decoder = Decoder(g["bottleneck_ch"], cfg.num_classes, dtype=dt,
+                               remat=cfg.remat, name="decoder")
+
+    def _route(self, tokens: jnp.ndarray, query: jnp.ndarray,
+               class_token: jnp.ndarray, pe: PositionalEncoding,
+               train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One routing: top-k select against ``query``, PE, dropout, prepend
+        ``class_token`` (cls_wise_former.py:345-357)."""
+        selected, idx = topk_select(tokens, query, self.cfg.top_num)
+        selected = pe(selected)
+        selected = self.token_drop(selected, deterministic=not train)
+        b = tokens.shape[0]
+        ct = jnp.broadcast_to(class_token.astype(selected.dtype),
+                              (b, 1, selected.shape[-1]))
+        return jnp.concatenate([ct, selected], axis=1), idx
+
+    def __call__(self, x: jnp.ndarray, *, train: bool = False
+                 ) -> Tuple[jnp.ndarray, Dict, Dict, Dict, Dict]:
+        """Args: x (B, D, H, W, 4) float volume.  Returns the reference's
+        5-tuple (cls_wise_former.py:592): softmax seg probs
+        (B, D, H, W, num_classes) plus four {'01','02','04'} prob-map dicts
+        (final semantic, final edge, mid semantic, mid edge), all NDHWC."""
+        cfg = self.cfg
+        g = self.geom
+        k = cfg.top_num
+        x = x.astype(self.dtype)
+
+        x1_1, x2_1, x3_1, bottleneck = self.unet(x, train=train)
+
+        # ---- decouple ----
+        x2_down = self.conv_64_to_32(x2_1)
+        x_2_3 = jnp.concatenate([x2_down, x3_1], axis=-1)
+        edge_fea = {r: self.act_mid[r](self.conv_mid[r](x_2_3))
+                    for r in REGIONS}
+        sem_fea = {r: self.act_sem[r](self.conv_sem[r](bottleneck))
+                   for r in REGIONS}
+
+        mid_sup = self.mid_supervise_head(*[sem_fea[r] for r in REGIONS])
+        mid_edge_sup = self.mid_edge_supervise_head(
+            *[edge_fea[r] for r in REGIONS])
+
+        # ---- per-class intra-region coupling ----
+        sem_grids_updated = {}
+        sem_class_tokens = {}
+        sup_sem = {}
+        sup_edge = {}
+        for r in REGIONS:
+            edge_tokens = patchify(edge_fea[r], g["edge_patch"])
+            sem_tokens = patchify(sem_fea[r], g["sem_patch"])
+            e_tok, s_tok = self.e_tokens[r], self.s_tokens[r]
+            pe = self.pos_enc[r]
+
+            edge_seq, idx_edge = self._route(edge_tokens, e_tok, e_tok, pe,
+                                             train)
+            se_supple, _ = self._route(sem_tokens, e_tok, s_tok, pe, train)
+            sem_seq, idx_sem = self._route(sem_tokens, s_tok, s_tok, pe,
+                                           train)
+            edge_supple, _ = self._route(edge_tokens, s_tok, e_tok, pe, train)
+
+            result = self.transformers[r](edge_seq, se_supple, sem_seq,
+                                          edge_supple, train=train)
+            # result: (B, 2*(k+1), P); first half edge stream, second semantic
+            edge_token_out = result[:, 0:1]
+            edge_updates = result[:, 1:k + 1]
+            sem_token_out = result[:, k + 1:k + 2]
+            sem_updates = result[:, k + 2:2 * (k + 1)]
+
+            edge_grid = scatter_update(edge_tokens, idx_edge, edge_updates)
+            sem_grid = scatter_update(sem_tokens, idx_sem, sem_updates)
+
+            # class-token gating (:481-485)
+            gated_edge = edge_token_out * edge_grid
+            gated_sem = sem_token_out * sem_grid
+            sup_edge[r] = unpatchify(gated_edge, g["edge_ch"],
+                                     (g["edge_size"],) * 3, g["edge_patch"])
+            sup_sem[r] = unpatchify(gated_sem, g["sem_ch"],
+                                    (g["sem_size"],) * 3, g["sem_patch"])
+
+            # fusion consumes the scattered-but-ungated semantic grid (:550)
+            sem_grids_updated[r] = sem_grid
+            sem_class_tokens[r] = sem_token_out
+
+        final_sup = self.supervise_head(*[sup_sem[r] for r in REGIONS])
+        final_edge_sup = self.edge_supervise_head(
+            *[sup_edge[r] for r in REGIONS])
+
+        # ---- mutual cross-region coupling (:548-577) ----
+        fusion_token = sum(sem_class_tokens[r] for r in REGIONS)
+        fusion_feature = sum(sem_grids_updated[r] for r in REGIONS)
+
+        selected, fusion_idx = topk_select(fusion_feature, fusion_token, k)
+        selected = self.fusion_pos(selected)
+        selected = self.token_drop(selected, deterministic=not train)
+        fusion_seq = jnp.concatenate([fusion_token, selected], axis=1)
+
+        result = self.fusion_transformer(fusion_seq, train=train)
+        cross_token = result[:, 0:1]
+        cross_updates = result[:, 1:k + 1]
+        fused = scatter_update(fusion_feature, fusion_idx, cross_updates)
+        fused = cross_token * fused
+
+        enc = unpatchify(fused, g["sem_ch"], (g["sem_size"],) * 3,
+                         g["sem_patch"])
+        enc = self.sum_fusion(enc)
+
+        seg = self.decoder(x1_1, x2_1, x3_1, enc)
+        return seg, final_sup, final_edge_sup, mid_sup, mid_edge_sup
+
+
+def build_model(cfg: ModelConfig | None = None) -> ClsWiseFormer:
+    """Factory mirroring ``get_cls_wise_former`` (cls_wise_former.py:757)."""
+    return ClsWiseFormer(cfg or ModelConfig())

@@ -1,0 +1,105 @@
+"""Flax building blocks with PyTorch-matching semantics.
+
+Conv/Dense initializers reproduce torch's ``kaiming_uniform_(a=sqrt(5))``
+default (variance 1/(3*fan_in), uniform) so training dynamics are comparable;
+biases are zero-initialized (flax convention — the only deliberate init
+deviation from torch, documented here).  All convs take explicit torch-style
+padding so stride-2 downsampling samples the same grid positions as
+``nn.Conv3d(k=3, s=2, p=1)``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dctseg.ops.norms import instance_norm, layer_norm, leaky_relu
+
+# torch kaiming_uniform_(a=sqrt(5)): U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+class Conv3d(nn.Module):
+    """3D convolution on NDHWC with torch-style explicit padding."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        p = self.padding
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(k, k, k),
+            strides=(self.stride,) * 3,
+            padding=((p, p),) * 3,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ConvTranspose3d(nn.Module):
+    """Transposed conv matching ``nn.ConvTranspose3d(k=2, s=2)`` upsampling."""
+    features: int
+    kernel_size: int = 2
+    stride: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(self.kernel_size,) * 3,
+            strides=(self.stride,) * 3,
+            padding="VALID",
+            kernel_init=torch_kernel_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class Dense(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.features, use_bias=self.use_bias,
+            kernel_init=torch_kernel_init, dtype=self.dtype,
+            param_dtype=jnp.float32)(x)
+
+
+class LayerNorm(nn.Module):
+    """Affine LayerNorm over the last axis (torch nn.LayerNorm defaults)."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return layer_norm(x, scale, bias, self.eps)
+
+
+class InstanceNormAct(nn.Module):
+    """InstanceNorm3d (no affine) + LeakyReLU(0.01) fused block.
+
+    The ubiquitous reference pattern, e.g. ``cls_wise_former.py:284-296``.
+    """
+    eps: float = 1e-5
+    negative_slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x):
+        return leaky_relu(instance_norm(x, self.eps), self.negative_slope)

@@ -1,0 +1,64 @@
+"""Metric tests: dice/mIoU composites and the scipy-based HD95."""
+
+import numpy as np
+
+from dctseg import metrics
+
+
+def test_dice_composites_perfect_and_disjoint():
+    a = np.zeros((8, 8, 8), np.int32)
+    a[2:5, 2:5, 2:5] = 1
+    a[5:7, 5:7, 5:7] = 3
+    assert metrics.softmax_output_dice(a, a) == [1.0, 1.0, 1.0]
+    b = np.zeros_like(a)
+    wt, tc, et = metrics.softmax_output_dice(a, b)
+    assert wt < 1e-5 and tc < 1e-5 and et < 1e-5
+
+
+def test_miou_matches_manual():
+    o = np.zeros((4, 4, 4), np.int32)
+    t = np.zeros((4, 4, 4), np.int32)
+    o[:2] = 1
+    t[1:3] = 1
+    wt = metrics.softmax_output_miou(o, t)[0]
+    # intersection 16, union 48
+    np.testing.assert_allclose(wt, 16 / 48, rtol=1e-6)
+
+
+def test_hd95_translated_cube():
+    """Two identical cubes offset by k voxels along one axis have
+    hd95 == hd == k for the flat faces (the 95th percentile across the
+    surface is dominated by the offset distance)."""
+    a = np.zeros((24, 24, 24), bool)
+    b = np.zeros((24, 24, 24), bool)
+    a[4:12, 4:20, 4:20] = True
+    b[8:16, 4:20, 4:20] = True    # shifted +4 in x
+    d = metrics.hausdorff_distance_95(a, b)
+    assert 3.0 <= d <= 4.01, d
+
+
+def test_hd95_identical_is_zero():
+    a = np.zeros((10, 10, 10), bool)
+    a[3:7, 3:7, 3:7] = True
+    assert metrics.hausdorff_distance_95(a, a) == 0.0
+
+
+def test_hd95_degenerate_guards():
+    empty = np.zeros((6, 6, 6), bool)
+    full = np.ones((6, 6, 6), bool)
+    some = np.zeros((6, 6, 6), bool)
+    some[2:4, 2:4, 2:4] = True
+    # reference ConfusionMatrix guard: empty or full on either side -> 0
+    assert metrics.hausdorff_distance_95(empty, some) == 0.0
+    assert metrics.hausdorff_distance_95(some, empty) == 0.0
+    assert metrics.hausdorff_distance_95(full, some) == 0.0
+    assert np.isnan(
+        metrics.hausdorff_distance_95(empty, some, nan_for_nonexisting=True))
+
+
+def test_cal_hausdorff_triplet():
+    a = np.zeros((12, 12, 12), np.int32)
+    a[2:6, 2:6, 2:6] = 1
+    a[6:9, 6:9, 6:9] = 3
+    out = metrics.cal_hausdorff(a, a)
+    assert out == [0.0, 0.0, 0.0]
