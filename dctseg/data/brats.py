@@ -1,0 +1,181 @@
+"""BraTS dataset: 4-modality NIfTI loading, normalization, cropping, edge maps.
+
+The reference imports ``data.ClsWiseBraTS128.BraDataSet128`` etc. which are
+ABSENT from its tree (train.py:20, test.py:14, test_overlap.py:14); this
+module implements the interface reconstructed from the call sites
+(SURVEY.md §2.9a):
+
+  * item layout (train):  x (128,128,128,4) float32 z-scored,
+                          target (128^3) int {0,1,2,3} (raw BraTS 4 -> 3),
+                          edge (128^3) codes {0,1,2,4..8},
+                          missing_modal (4,) int8 presence mask
+  * item layout (full):   x (240,240,160,4) zero-padded in depth,
+                          target (240,240,155)
+  * ``.names`` ordered like the dataset (test_simple.py:116)
+  * ``drop_modal`` randomly zeroes modalities (test_all_pth.py:112)
+
+Normalization: per-modality z-score over that modality's nonzero voxels;
+background stays exactly zero (standard BraTS recipe, BASELINE.md).
+When ``root`` is empty, volumes come from the synthetic generator instead of
+disk so every driver runs dataset-free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dctseg.config import DataConfig
+from dctseg.data import nifti, synthetic
+from dctseg.data.edge import make_edge_map
+
+
+@dataclasses.dataclass
+class Sample:
+    x: np.ndarray                 # (D, H, W, M) float32
+    target: Optional[np.ndarray]  # (D, H, W) int32 in {0,1,2,3}
+    edge: Optional[np.ndarray]    # (D, H, W) uint8 edge codes
+    missing_modal: np.ndarray     # (M,) int8 presence mask
+    name: str = ""
+    path: str = ""
+
+
+def zscore_nonzero(img: np.ndarray) -> np.ndarray:
+    """Per-modality z-score over nonzero voxels; zeros stay zero."""
+    out = np.zeros_like(img, dtype=np.float32)
+    for m in range(img.shape[-1]):
+        chan = img[..., m]
+        mask = chan != 0
+        if mask.any():
+            mu = chan[mask].mean()
+            sd = chan[mask].std()
+            out[..., m] = np.where(mask, (chan - mu) / (sd + 1e-8), 0.0)
+    return out
+
+
+class BraTSDataset:
+    """Covers the reference's BraDataSet128 / BraDataSet / BraDataSet128Test.
+
+    mode:
+      'train' — random crop, with target+edge
+      'valid' — deterministic center crop, with target+edge+path
+      'full'  — full padded volume (for sliding-window tiling), target at
+                native 155 depth
+    """
+
+    def __init__(self, list_file: str = "", root: str = "",
+                 mode: str = "train", drop_modal: bool = False,
+                 cfg: Optional[DataConfig] = None):
+        self.cfg = cfg or DataConfig()
+        self.root = root
+        self.mode = mode
+        self.drop_modal = drop_modal
+        self.synthetic = not root
+        if self.synthetic:
+            n = self.cfg.synthetic_num_samples
+            self.names = [f"SYN_{i:03d}" for i in range(n)]
+        else:
+            with open(list_file) as f:
+                self.names = [ln.strip() for ln in f if ln.strip()]
+        self._rng = np.random.default_rng(self.cfg.seed)
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    # ---- raw IO ----
+
+    def _load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray, str]:
+        name = self.names[idx]
+        if self.synthetic:
+            img, label = synthetic.make_volume(
+                idx, self.cfg.input_shape, len(self.cfg.modalities))
+            return img, label, ""
+        case_dir = os.path.join(self.root, name)
+        mods = []
+        for mod in self.cfg.modalities:
+            p = os.path.join(case_dir, f"{name}_{mod}.nii.gz")
+            if not os.path.exists(p):
+                p = p[:-3]  # allow uncompressed .nii
+            mods.append(np.asarray(nifti.load(p).data, np.float32))
+        img = np.stack(mods, axis=-1)
+        seg_p = os.path.join(case_dir, f"{name}_seg.nii.gz")
+        if not os.path.exists(seg_p):
+            seg_p = seg_p[:-3]
+        label = (np.asarray(nifti.load(seg_p).data, np.uint8)
+                 if os.path.exists(seg_p) else
+                 np.zeros(img.shape[:-1], np.uint8))
+        return img, label, case_dir + os.sep
+
+    # ---- assembly ----
+
+    def _pad_depth(self, img, label):
+        pad_d = self.cfg.pad_depth - img.shape[2]
+        if pad_d > 0:
+            img = np.pad(img, ((0, 0), (0, 0), (0, pad_d), (0, 0)))
+            label = np.pad(label, ((0, 0), (0, 0), (0, pad_d)))
+        return img, label
+
+    def _crop_origin(self, shape, rng: Optional[np.random.Generator]):
+        ch, cw, cd = self.cfg.crop_size
+        max_off = (shape[0] - ch, shape[1] - cw, shape[2] - cd)
+        if rng is None:  # center crop
+            return tuple(m // 2 for m in max_off)
+        return tuple(int(rng.integers(0, m + 1)) for m in max_off)
+
+    def _missing_modal(self, rng: Optional[np.random.Generator]) -> np.ndarray:
+        m = len(self.cfg.modalities)
+        present = np.ones((m,), np.int8)
+        if self.drop_modal and rng is not None:
+            # drop a random non-empty proper subset (keep >= 1 modality)
+            n_drop = int(rng.integers(0, m))
+            if n_drop:
+                drop = rng.choice(m, size=n_drop, replace=False)
+                present[drop] = 0
+        return present
+
+    def get(self, idx: int, rng: Optional[np.random.Generator] = None
+            ) -> Sample:
+        img, label, path = self._load_raw(idx)
+        label = np.where(label == 4, 3, label).astype(np.int32)
+        img = zscore_nonzero(img)
+
+        if self.mode == "full":
+            img, label_padded = self._pad_depth(img, label)
+            present = self._missing_modal(rng)
+            img = img * present.astype(np.float32)
+            return Sample(x=img, target=label, edge=None,
+                          missing_modal=present, name=self.names[idx],
+                          path=path)
+
+        img, label = self._pad_depth(img, label)
+        crop_rng = rng if self.mode == "train" else None
+        o = self._crop_origin(img.shape, crop_rng)
+        ch, cw, cd = self.cfg.crop_size
+        img = img[o[0]:o[0] + ch, o[1]:o[1] + cw, o[2]:o[2] + cd]
+        label = label[o[0]:o[0] + ch, o[1]:o[1] + cw, o[2]:o[2] + cd]
+        edge = make_edge_map(label).astype(np.int32)
+        present = self._missing_modal(rng)
+        img = img * present.astype(np.float32)
+        return Sample(x=np.ascontiguousarray(img), target=label, edge=edge,
+                      missing_modal=present, name=self.names[idx], path=path)
+
+    def __getitem__(self, idx: int) -> Sample:
+        rng = self._rng if self.mode == "train" else None
+        return self.get(idx, rng)
+
+
+# Aliases matching the reference loader names (SURVEY.md §2.9a)
+def BraDataSet128(list_file, root, mode="train", drop_modal=False, cfg=None):
+    return BraTSDataset(list_file, root, mode, drop_modal, cfg)
+
+
+def BraDataSet(list_file, root, mode="full", drop_modal=False, cfg=None):
+    return BraTSDataset(list_file, root, "full", drop_modal, cfg)
+
+
+def BraDataSet128Test(list_file, root, mode="full", drop_modal=False,
+                      cfg=None):
+    return BraTSDataset(list_file, root, "full", drop_modal, cfg)

@@ -1,0 +1,115 @@
+"""Host-side data pipeline: sharded sampling + threaded prefetch.
+
+TPU-native replacement for the reference's ``DataLoader`` +
+``DistributedSampler`` + ``pin_memory`` stack (train.py:162-169): a
+deterministic per-epoch shuffle partitioned across data-parallel shards
+(``set_epoch`` semantics, train.py:176), worker threads decoding NIfTI +
+building edge maps while the device computes, and a bounded prefetch queue.
+Device placement happens in the trainer via ``jax.device_put`` with the batch
+sharding, so the queue holds plain numpy.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from dctseg.data.brats import BraTSDataset, Sample
+
+
+class Batch:
+    """Stacked numpy batch."""
+
+    def __init__(self, samples: List[Sample]):
+        self.x = np.stack([s.x for s in samples])
+        self.target = (np.stack([s.target for s in samples])
+                       if samples[0].target is not None else None)
+        self.edge = (np.stack([s.edge for s in samples])
+                     if samples[0].edge is not None else None)
+        self.missing_modal = np.stack([s.missing_modal for s in samples])
+        self.names = [s.name for s in samples]
+        self.paths = [s.path for s in samples]
+
+
+def shard_indices(n: int, epoch: int, seed: int, shard: int,
+                  num_shards: int, shuffle: bool) -> List[int]:
+    """DistributedSampler-equivalent: same permutation on every shard
+    (seeded by epoch), round-robin partition, padded to equal length."""
+    idx = np.arange(n)
+    if shuffle:
+        idx = np.random.default_rng(seed + epoch).permutation(n)
+    per = -(-n // num_shards)
+    padded = np.resize(idx, per * num_shards)  # wrap-around padding
+    return list(padded[shard::num_shards])
+
+
+class PrefetchLoader:
+    """Iterates a dataset epoch with worker-thread prefetch."""
+
+    def __init__(self, dataset: BraTSDataset, batch_size: int = 1,
+                 shard: int = 0, num_shards: int = 1, shuffle: bool = True,
+                 num_workers: int = 4, prefetch: int = 2, seed: int = 1000):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shard = shard
+        self.num_shards = num_shards
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        per_shard = -(-len(self.dataset) // self.num_shards)
+        return -(-per_shard // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        indices = shard_indices(len(self.dataset), self.epoch, self.seed,
+                                self.shard, self.num_shards, self.shuffle)
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        job_q: "queue.Queue" = queue.Queue()
+        results = {}
+        results_lock = threading.Lock()
+
+        for bi, b in enumerate(batches):
+            job_q.put((bi, b))
+
+        def worker(worker_id: int):
+            rng = np.random.default_rng(
+                (self.seed, self.epoch, self.shard, worker_id))
+            while True:
+                try:
+                    bi, idxs = job_q.get_nowait()
+                except queue.Empty:
+                    return
+                samples = [self.dataset.get(
+                    i, rng if self.dataset.mode == "train" else None)
+                    for i in idxs]
+                with results_lock:
+                    results[bi] = Batch(samples)
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(min(self.num_workers, len(batches)))]
+        for t in threads:
+            t.start()
+
+        # emit in order
+        import time
+        for bi in range(len(batches)):
+            while True:
+                with results_lock:
+                    if bi in results:
+                        yield results.pop(bi)
+                        break
+                time.sleep(0.002)
+        for t in threads:
+            t.join()

@@ -1,0 +1,153 @@
+"""Data pipeline tests: NIfTI IO, edge maps, dataset assembly, loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dctseg.config import DataConfig
+from dctseg.data import nifti, synthetic
+from dctseg.data.brats import BraTSDataset, zscore_nonzero
+from dctseg.data.edge import decode_edge_map, make_edge_map, region_boundary
+from dctseg.data.pipeline import PrefetchLoader, shard_indices
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    for dtype in (np.float32, np.int16, np.uint8):
+        data = (rng.normal(0, 100, (7, 9, 5)) if dtype == np.float32
+                else rng.integers(0, 100, (7, 9, 5))).astype(dtype)
+        for ext in (".nii", ".nii.gz"):
+            p = str(tmp_path / f"x_{dtype.__name__}{ext}")
+            nifti.save(data, p)
+            back = nifti.load(p)
+            np.testing.assert_array_equal(back.data, data)
+            assert back.data.dtype == dtype
+
+
+def test_nifti_scl_scaling(tmp_path):
+    """scl_slope/scl_inter must be applied on load."""
+    import struct
+    data = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    p = str(tmp_path / "scaled.nii")
+    nifti.save(data, p)
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<f", raw, 112, 2.0)   # scl_slope
+    struct.pack_into("<f", raw, 116, 5.0)   # scl_inter
+    open(p, "wb").write(bytes(raw))
+    back = nifti.load(p)
+    np.testing.assert_allclose(back.data,
+                               data.astype(np.float32) * 2.0 + 5.0)
+
+
+def test_edge_map_codes_and_decode():
+    label = np.zeros((20, 20, 20), np.int32)
+    label[4:16, 4:16, 4:16] = 2        # edema shell
+    label[7:13, 7:13, 7:13] = 3        # enhancing
+    label[9:11, 9:11, 9:11] = 1        # necrotic
+    edge = make_edge_map(label)
+    # only legal codes
+    assert set(np.unique(edge)) <= {0, 1, 2, 4, 5, 6, 7, 8}
+    # adjacent region boundaries coincide -> composite codes must occur
+    assert ((edge == 7) | (edge == 5)).any(), "1-4 shared boundary missing"
+    assert ((edge == 8) | (edge == 5)).any(), "2-4 shared boundary missing"
+    # decode matches direct morphological gradients
+    dec = decode_edge_map(edge)
+    for key, region in (("01", 1), ("02", 2), ("04", 3)):
+        np.testing.assert_array_equal(dec[key],
+                                      region_boundary(label == region))
+
+
+def test_zscore_nonzero():
+    img = np.zeros((10, 10, 10, 2), np.float32)
+    img[2:8, 2:8, 2:8, 0] = np.random.default_rng(0).normal(
+        50, 10, (6, 6, 6))
+    img[1:5, 1:5, 1:5, 1] = 7.0
+    out = zscore_nonzero(img)
+    m0 = img[..., 0] != 0
+    assert abs(out[..., 0][m0].mean()) < 1e-4
+    assert abs(out[..., 0][m0].std() - 1.0) < 1e-3
+    assert (out[~(img != 0).any(-1)] == 0).all()
+
+
+def test_synthetic_dataset_train_items():
+    cfg = DataConfig(synthetic_num_samples=3)
+    ds = BraTSDataset(mode="train", cfg=cfg)
+    assert len(ds) == 3 and len(ds.names) == 3
+    s = ds[0]
+    assert s.x.shape == (128, 128, 128, 4)
+    assert s.target.shape == (128, 128, 128)
+    assert set(np.unique(s.target)) <= {0, 1, 2, 3}
+    assert s.edge.shape == (128, 128, 128)
+    assert s.missing_modal.tolist() == [1, 1, 1, 1]
+
+
+def test_full_mode_shapes():
+    cfg = DataConfig(synthetic_num_samples=1)
+    ds = BraTSDataset(mode="full", cfg=cfg)
+    s = ds[0]
+    assert s.x.shape == (240, 240, 160, 4)
+    assert s.target.shape == (240, 240, 155)
+    assert (s.x[:, :, 155:] == 0).all()
+
+
+def test_real_file_loading_path(tmp_path):
+    """End-to-end through the on-disk BraTS layout via our NIfTI writer."""
+    root = str(tmp_path / "brats")
+    synthetic.write_fake_dataset(root, num_train=2, num_valid=1,
+                                 shape=(64, 64, 40))
+    cfg = DataConfig(input_shape=(64, 64, 40), pad_depth=48,
+                     crop_size=(32, 32, 32))
+    ds = BraTSDataset(os.path.join(root, "train.txt"), root, "train",
+                      cfg=cfg)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s.x.shape == (32, 32, 32, 4)
+    assert s.target.shape == (32, 32, 32)
+    assert s.path.endswith(ds.names[0] + os.sep)
+    # valid mode is deterministic
+    dsv = BraTSDataset(os.path.join(root, "valid.txt"), root, "valid",
+                       cfg=cfg)
+    a, b = dsv[0], dsv[0]
+    np.testing.assert_array_equal(a.x, b.x)
+
+
+def test_drop_modal():
+    cfg = DataConfig(synthetic_num_samples=2)
+    ds = BraTSDataset(mode="train", drop_modal=True, cfg=cfg)
+    rng = np.random.default_rng(0)
+    seen_drop = False
+    for _ in range(8):
+        s = ds.get(0, rng)
+        present = s.missing_modal
+        assert present.sum() >= 1
+        for m in range(4):
+            if not present[m]:
+                seen_drop = True
+                assert (s.x[..., m] == 0).all()
+    assert seen_drop
+
+
+def test_shard_indices_cover_and_disjoint():
+    idx = [shard_indices(10, epoch=3, seed=7, shard=s, num_shards=4,
+                         shuffle=True) for s in range(4)]
+    # equal length, union covers all samples
+    assert all(len(i) == 3 for i in idx)
+    assert set().union(*map(set, idx)) == set(range(10))
+    # deterministic given epoch
+    again = shard_indices(10, 3, 7, 0, 4, True)
+    assert idx[0] == again
+    assert shard_indices(10, 4, 7, 0, 4, True) != idx[0]
+
+
+def test_prefetch_loader_order_and_shapes():
+    cfg = DataConfig(synthetic_num_samples=4,
+                     input_shape=(64, 64, 40), pad_depth=48,
+                     crop_size=(32, 32, 32))
+    ds = BraTSDataset(mode="valid", cfg=cfg)
+    loader = PrefetchLoader(ds, batch_size=2, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0].x.shape == (2, 32, 32, 32, 4)
+    assert batches[0].names == ds.names[:2]
+    assert batches[1].names == ds.names[2:]
