@@ -1,0 +1,159 @@
+"""Inference engines: jitted forward, flip-TTA, sliding-window tiling,
+multi-checkpoint ensembling.
+
+Covers the reference's four engines (SURVEY.md §1 pairing matrix):
+  predict_simple.py — full-volume (128^3) 8-way flip TTA, softmax mean
+  predict.py        — single-patch argmax (+ 3->4 label remap)
+  predict_cls.py    — 8-crop tiling, optional TTA over tilings, ensembling
+  predict_overlap.py— 8-crop tiling, no TTA
+
+TPU-first design decisions:
+  * The 8 flip variants are evaluated as ONE batched forward (B=8) instead of
+    8 sequential model calls (predict_simple.py:333-349) — flips are free
+    `lax.rev` ops fused into the same compiled program.
+  * The 8 sliding-window crops are likewise one B=8 forward
+    (vs the sequential loop at predict.py:45-54); stitch-back uses static
+    slice assignments so a single compiled function serves every volume.
+  * The reference softmaxes the decoder's already-softmaxed output again
+    before averaging (predict_simple.py:333, Decoder softmax at
+    cls_wise_former.py:663).  We reproduce that double softmax for parity.
+
+Reference stitching quirk: the high-depth crops start at slice 27 but are
+stitched with ``[..., 96:123]`` into ``[..., 128:155]`` (predict.py:60-63) —
+a 5-slice misalignment.  ``stitch_mode='reference'`` reproduces it;
+``'aligned'`` uses the correct ``101:128`` window.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLIP_COMBOS: List[tuple] = [
+    (), (1,), (2,), (3,), (1, 2), (1, 3), (2, 3), (1, 2, 3),
+]  # spatial axes of NDHWC; order matches predict_simple.py:333-347
+
+
+class Predictor:
+    """Jit-compiled inference over a fixed parameter set."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        self._fwd = jax.jit(
+            lambda p, x: self.model.apply(p, x, train=False)[0])
+
+    def update_params(self, params):
+        """Swap checkpoints without recompiling (for ensembling/sweeps)."""
+        self.params = params
+
+    def seg_probs(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, D, H, W, M) -> (B, D, H, W, C) decoder softmax probs."""
+        return self._fwd(self.params, x)
+
+    # ---- flip TTA (predict_simple.py:333-349) ----
+
+    @functools.cached_property
+    def _tta_fn(self) -> Callable:
+        def tta(params, x):
+            # x: (1, D, H, W, M) -> batch of 8 flipped variants
+            xs = jnp.concatenate(
+                [jax.lax.rev(x, c) if c else x for c in FLIP_COMBOS], axis=0)
+            probs = self.model.apply(params, xs, train=False)[0]
+            acc = jnp.zeros_like(probs[0:1], dtype=jnp.float32)
+            for i, c in enumerate(FLIP_COMBOS):
+                p = probs[i:i + 1]
+                p = jax.lax.rev(p, c) if c else p
+                acc = acc + jax.nn.softmax(p.astype(jnp.float32), axis=-1)
+            return acc / len(FLIP_COMBOS)
+        return jax.jit(tta)
+
+    def tta_probs(self, x: jnp.ndarray) -> jnp.ndarray:
+        """8-way flip TTA with double-softmax averaging; x must be (1,...)."""
+        assert x.shape[0] == 1, "TTA operates per volume"
+        return self._tta_fn(self.params, x)
+
+    # ---- sliding-window tiling (predict.py:37-65) ----
+
+    def _crops(self, d: int):
+        """Static crop windows for a (240,240,155+) volume with 128^3 model
+        input: {[:128],[112:240]}^2 in H,W x {[:128],[27:155]} in D."""
+        return [
+            (slice(0, 128), slice(0, 128), slice(0, 128)),
+            (slice(0, 128), slice(112, 240), slice(0, 128)),
+            (slice(112, 240), slice(0, 128), slice(0, 128)),
+            (slice(112, 240), slice(112, 240), slice(0, 128)),
+            (slice(0, 128), slice(0, 128), slice(27, 155)),
+            (slice(0, 128), slice(112, 240), slice(27, 155)),
+            (slice(112, 240), slice(0, 128), slice(27, 155)),
+            (slice(112, 240), slice(112, 240), slice(27, 155)),
+        ]
+
+    @functools.cached_property
+    def _tiled_fn(self) -> Callable:
+        def tiled(params, x, stitch_ref: bool):
+            # x: (1, 240, 240, >=155, M)
+            crops = self._crops(x.shape[3])
+            xs = jnp.concatenate([x[:, h, w, d, :] for h, w, d in crops],
+                                 axis=0)                       # (8,128^3,M)
+            t = self.model.apply(params, xs, train=False)[0]   # (8,128^3,C)
+            c = t.shape[-1]
+            y = jnp.zeros((1, 240, 240, 155, c), t.dtype)
+            # stitch-back (predict.py:56-63): later crops overwrite the
+            # 16-voxel H/W overlap with their inner region
+            y = y.at[:, :128, :128, :128].set(t[0:1])
+            y = y.at[:, :128, 128:240, :128].set(t[1:2, :, 16:128, :])
+            y = y.at[:, 128:240, :128, :128].set(t[2:3, 16:128, :, :])
+            y = y.at[:, 128:240, 128:240, :128].set(
+                t[3:4, 16:128, 16:128, :])
+            lo, hi = (96, 123) if stitch_ref else (101, 128)
+            y = y.at[:, :128, :128, 128:155].set(t[4:5, :, :, lo:hi])
+            y = y.at[:, :128, 128:240, 128:155].set(
+                t[5:6, :, 16:128, lo:hi])
+            y = y.at[:, 128:240, :128, 128:155].set(
+                t[6:7, 16:128, :, lo:hi])
+            y = y.at[:, 128:240, 128:240, 128:155].set(
+                t[7:8, 16:128, 16:128, lo:hi])
+            return y
+        return jax.jit(tiled, static_argnums=2)
+
+    def tiled_probs(self, x: jnp.ndarray,
+                    stitch_mode: str = "reference") -> jnp.ndarray:
+        """(1, 240, 240, >=155, M) -> (1, 240, 240, 155, C)."""
+        assert x.shape[0] == 1
+        return self._tiled_fn(self.params, x, stitch_mode == "reference")
+
+    def tiled_tta_probs(self, x: jnp.ndarray,
+                        stitch_mode: str = "reference") -> jnp.ndarray:
+        """Flip TTA over full tilings (predict_cls.py:184-203 /
+        predict.py TTA path): 8 flips x 8 crops = 64 forwards, softmax mean."""
+        x = x[:, :, :, :155]
+        acc = None
+        for c in FLIP_COMBOS:
+            xf = jax.lax.rev(x, c) if c else x
+            y = self.tiled_probs(xf, stitch_mode)
+            y = jax.lax.rev(y, c) if c else y
+            y = jax.nn.softmax(y.astype(jnp.float32), axis=-1)
+            acc = y if acc is None else acc + y
+        return acc / len(FLIP_COMBOS)
+
+
+def ensemble_probs(predict_fn: Callable[[], jnp.ndarray],
+                   predictor: Predictor,
+                   param_sets: Sequence,
+                   divisor: Optional[float] = None) -> jnp.ndarray:
+    """Multi-checkpoint softmax ensembling (predict_cls.py:147-174): average
+    ``predict_fn()`` over parameter sets.  The reference divides by a
+    hard-coded 4 regardless of how many checkpoints exist; pass ``divisor``
+    to reproduce, or None to divide by the actual count."""
+    acc = None
+    for ps in param_sets:
+        predictor.update_params(ps)
+        y = predict_fn()
+        acc = y if acc is None else acc + y
+    return acc / (divisor if divisor is not None else len(param_sets))

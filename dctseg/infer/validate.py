@@ -1,0 +1,125 @@
+"""Evaluation loops: the reference's ``validate_softmax`` engines.
+
+``validate_softmax`` here is a single parameterized loop covering the four
+reference variants (predict_simple.py:283-448 is the primary; see
+SURVEY.md §1 pairing matrix):
+  strategy='tta'        full-volume (crop-sized) 8-way flip TTA  [test_simple]
+  strategy='single'     single patch, no TTA                     [test]
+  strategy='tiling'     8-crop sliding window                    [test_overlap]
+  strategy='tiling_tta' tiling + flip TTA over tilings           [test_cls]
+
+Returns mean (WT, TC, ET) dice like the reference (predict_simple.py:448) and
+logs per-volume Dice / mIoU / HD95.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from dctseg import metrics
+from dctseg.infer.engine import Predictor, ensemble_probs
+from dctseg.utils import export
+
+logger = logging.getLogger("dctseg")
+
+
+def validate_softmax(
+        loader,
+        predictor: Predictor,
+        strategy: str = "tta",
+        savepath: str = "",
+        use_hd95: bool = True,
+        snapshot: bool = False,
+        csv_export: bool = False,
+        save_nifti: bool = False,
+        visual: str = "",
+        param_sets: Optional[Sequence] = None,
+        stitch_mode: str = "reference",
+        postprocess: bool = False,
+) -> Dict[str, float]:
+    wt, tc, et = [], [], []
+    h_wt, h_tc, h_et = [], [], []
+    m_wt, m_tc, m_et = [], [], []
+    runtimes = []
+
+    for i, batch in enumerate(loader):
+        x = jnp.asarray(batch.x)
+        name = batch.names[0]
+        t0 = time.time()
+
+        def run():
+            if strategy == "tta":
+                return predictor.tta_probs(x)
+            if strategy == "single":
+                return predictor.seg_probs(x)
+            if strategy == "tiling":
+                return predictor.tiled_probs(x, stitch_mode)
+            if strategy == "tiling_tta":
+                return predictor.tiled_tta_probs(x, stitch_mode)
+            raise ValueError(f"unknown strategy {strategy!r}")
+
+        if param_sets:
+            probs = ensemble_probs(run, predictor, param_sets)
+        else:
+            probs = run()
+        probs = np.asarray(probs)
+        output = probs.argmax(-1)[0]                       # (H, W, D)
+        runtimes.append(time.time() - t0)
+
+        target = batch.target[0]
+        if strategy in ("tiling", "tiling_tta"):
+            target = target[..., :155]
+        if postprocess:
+            # optional ET-voxel suppression hook (the reference ships the
+            # commented heuristic `np.sum(o) < 500 -> o*0`,
+            # predict_simple.py:132-140)
+            if (output == 3).sum() < 500:
+                output = np.where(output == 3, 1, output)
+
+        soft = metrics.softmax_output_dice(output, target)
+        miou = metrics.softmax_output_miou(output, target)
+        haus = (metrics.cal_hausdorff(output, target) if use_hd95
+                else [0.0, 0.0, 0.0])
+        wt.append(soft[0]); tc.append(soft[1]); et.append(soft[2])
+        m_wt.append(miou[0]); m_tc.append(miou[1]); m_et.append(miou[2])
+        h_wt.append(haus[0]); h_tc.append(haus[1]); h_et.append(haus[2])
+
+        counts = [int((output == c).sum()) for c in range(4)]
+        logger.info("name:%s, Subject %d/%d, DICE= WT:%.4f,TC:%.4f,ET:%.4f",
+                    name, i + 1, len(loader), *soft)
+        logger.info("name:%s, MIOU= WT:%.4f,TC:%.4f,ET:%.4f", name, *miou)
+        logger.info("name:%s, HAUSDORFF= WT:%.4f,TC:%.4f,ET:%.4f",
+                    name, *haus)
+        logger.info("pred counts 0..3: %s  (%.2fs/volume)", counts,
+                    runtimes[-1])
+
+        if csv_export and visual:
+            export.export_per_slice_csv(visual, name, output, target)
+        if snapshot and visual:
+            export.export_png_slices(visual, name, output, target)
+        if save_nifti and savepath:
+            export.export_nifti_segmentation(
+                os.path.join(savepath, f"{name}.nii.gz"), output)
+
+    out = {
+        "wt": float(np.mean(wt)), "tc": float(np.mean(tc)),
+        "et": float(np.mean(et)),
+        "hd95_wt": float(np.mean(h_wt)), "hd95_tc": float(np.mean(h_tc)),
+        "hd95_et": float(np.mean(h_et)),
+        "miou_wt": float(np.mean(m_wt)), "miou_tc": float(np.mean(m_tc)),
+        "miou_et": float(np.mean(m_et)),
+        "sec_per_volume": float(np.mean(runtimes)) if runtimes else 0.0,
+    }
+    logger.info("WT Dice: %.4f | TC Dice: %.4f | ET Dice: %.4f",
+                out["wt"], out["tc"], out["et"])
+    logger.info("HD95 WT: %.4f | TC: %.4f | ET: %.4f",
+                out["hd95_wt"], out["hd95_tc"], out["hd95_et"])
+    logger.info("MIOU WT: %.4f | TC: %.4f | ET: %.4f",
+                out["miou_wt"], out["miou_tc"], out["miou_et"])
+    return out

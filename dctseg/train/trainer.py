@@ -1,0 +1,219 @@
+"""Training loop: jitted data-parallel train step, logging, checkpointing.
+
+Replaces the reference DDP loop (train.py:111-268) with a single-program
+SPMD design: one jitted step function whose batch inputs are sharded over a
+1-D ``data`` mesh and whose parameters are replicated; XLA inserts the
+gradient all-reduce over ICI.  The loss components the reference all-reduces
+explicitly for logging (train.py:217-225) are already global here because the
+loss itself is computed over the global (sharded) batch inside jit.
+
+AMP equivalence: ``ModelConfig(compute_dtype='bfloat16')`` — on TPU bf16 has
+fp32's exponent range so no GradScaler is needed (SURVEY.md §2.9b).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dctseg.config import Config
+from dctseg.data.brats import BraTSDataset
+from dctseg.data.pipeline import Batch, PrefetchLoader
+from dctseg.losses import CRITERIA, total_loss
+from dctseg.models.clswiseformer import ClsWiseFormer, build_model
+from dctseg.parallel.mesh import (batch_sharding, make_mesh, replicated,
+                                  shard_batch)
+from dctseg.train.checkpoint import Checkpointer, should_save
+from dctseg.train.optim import make_optimizer
+
+logger = logging.getLogger("dctseg")
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_train_step(model: ClsWiseFormer, tx: optax.GradientTransformation,
+                    criterion: Callable) -> Callable:
+    """Returns a jittable (state, x, target, edge, rng) -> (state, metrics)."""
+
+    def step(state: TrainState, x, target, edge, rng):
+        def loss_fn(params):
+            outs = model.apply(params, x, train=True,
+                               rngs={"dropout": rng})
+            comp = total_loss(outs, target, edge, criterion)
+            return comp["loss"], (comp, outs[0])
+
+        grads, (comp, seg) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # train-time sanity metrics (train.py:192-205), on device
+        pred = jnp.argmax(seg, axis=-1)
+        metrics = dict(comp)
+        metrics["pred_counts"] = jnp.stack(
+            [(pred == c).sum() for c in range(seg.shape[-1])])
+        wt = _dice(pred > 0, target > 0)
+        tc = _dice((pred == 1) | (pred == 3), (target == 1) | (target == 3))
+        et = _dice(pred == 3, target == 3)
+        metrics["dice_wt"], metrics["dice_tc"], metrics["dice_et"] = wt, tc, et
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def _dice(o, t, eps=1e-8):
+    o = o.astype(jnp.float32)
+    t = t.astype(jnp.float32)
+    return (2 * (o * t).sum() + eps) / (o.sum() + t.sum() + eps)
+
+
+class Trainer:
+    """End-to-end training driver (the reference's main_worker,
+    train.py:111-268)."""
+
+    def __init__(self, cfg: Config, dataset: Optional[BraTSDataset] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.model = build_model(cfg.model)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.train.num_devices)
+        self.num_devices = self.mesh.devices.size
+
+        self.dataset = dataset if dataset is not None else BraTSDataset(
+            list_file=(cfg.data.root and
+                       f"{cfg.data.root}/{cfg.data.train_file}"),
+            root=cfg.data.root, mode="train",
+            drop_modal=cfg.data.drop_modal, cfg=cfg.data)
+        # global batch = per-device batch * mesh size
+        self.global_batch = cfg.train.batch_size * self.num_devices
+        self.loader = PrefetchLoader(
+            self.dataset, batch_size=self.global_batch,
+            shuffle=True, num_workers=cfg.data.num_workers,
+            prefetch=cfg.data.prefetch, seed=cfg.train.seed)
+        self.steps_per_epoch = max(1, len(self.loader))
+
+        self.tx = make_optimizer(cfg.train, self.steps_per_epoch)
+        self.criterion = CRITERIA[cfg.train.criterion]
+        self._step_fn = None
+        self.ckpt = Checkpointer(cfg.train.checkpoint_dir)
+        self.state: Optional[TrainState] = None
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+
+    # ---- state init / resume ----
+
+    def init_state(self) -> TrainState:
+        self.rng, init_key, drop_key = jax.random.split(self.rng, 3)
+        d = self.cfg.model.img_dim
+        x0 = jnp.zeros((self.global_batch, d, d, d,
+                        self.cfg.model.in_channels), jnp.float32)
+        rep = replicated(self.mesh)
+        params = jax.jit(
+            lambda k: self.model.init({"params": k, "dropout": drop_key},
+                                      x0, train=False),
+            out_shardings=rep)(init_key)
+        opt_state = jax.jit(self.tx.init, out_shardings=rep)(params)
+        self.state = TrainState(params, opt_state,
+                                jnp.asarray(0, jnp.int32))
+        return self.state
+
+    def resume(self, epoch: Optional[int] = None,
+               restore_opt: bool = False) -> int:
+        """Restore params (reference quirk: optimizer state NOT restored by
+        default, train.py:146-157).  Returns the epoch to continue from."""
+        if self.state is None:
+            self.init_state()
+        epoch = epoch if epoch is not None else self.ckpt.latest_epoch()
+        if epoch is None:
+            logger.info("re-training!!!")
+            return self.cfg.train.start_epoch
+        abstract = jax.tree.map(ocp_abstract, self.state.params)
+        if restore_opt:
+            params, opt_state, meta = self.ckpt.restore_full(
+                epoch, abstract, jax.tree.map(ocp_abstract,
+                                              self.state.opt_state))
+            self.state = TrainState(params, opt_state, self.state.step)
+            logger.info("restored full state from epoch %s", epoch)
+            return int(meta["epoch"]) + 1
+        params = self.ckpt.restore_params(epoch, abstract)
+        self.state = self.state._replace(params=params)
+        logger.info("restored params from epoch %s", epoch)
+        return self.cfg.train.start_epoch
+
+    # ---- the loop ----
+
+    def _compiled_step(self):
+        if self._step_fn is None:
+            fn = make_train_step(self.model, self.tx, self.criterion)
+            rep = replicated(self.mesh)
+            data = batch_sharding(self.mesh)
+            self._step_fn = jax.jit(
+                fn,
+                in_shardings=(rep, data, data, data, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,))
+        return self._step_fn
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        step_fn = self._compiled_step()
+        self.loader.set_epoch(epoch)
+        last = {}
+        for i, batch in enumerate(self.loader):
+            self.rng, drop = jax.random.split(self.rng)
+            x, tgt, edg = shard_batch(
+                self.mesh, batch.x, batch.target, batch.edge)
+            self.state, metrics = step_fn(self.state, x, tgt, edg, drop)
+            if i % self.cfg.train.log_every == 0:
+                last = {k: np.asarray(v).tolist()
+                        for k, v in metrics.items()}
+                logger.info(
+                    "Epoch: %d_Iter:%d  loss: %.5f || end_loss: %.5f || "
+                    "s_loss:%.4f || edge_loss:%.4f || mid_s_loss:%.4f || "
+                    "mid_edge_loss:%.4f ||",
+                    epoch, i, last["loss"], last["end_loss"],
+                    last["s_loss"], last["edge_loss"], last["mid_s_loss"],
+                    last["mid_edge_loss"])
+                logger.info(
+                    "epoch:%d, DICE= WT:%.4f,TC:%.4f,ET:%.4f  counts=%s",
+                    epoch, last["dice_wt"], last["dice_tc"],
+                    last["dice_et"], last["pred_counts"])
+        return last
+
+    def fit(self) -> Dict[str, float]:
+        cfg = self.cfg.train
+        if self.state is None:
+            if cfg.resume:
+                start = self.resume()
+            else:
+                self.init_state()
+                start = cfg.start_epoch
+        else:
+            start = cfg.start_epoch
+        t0 = time.time()
+        last = {}
+        for epoch in range(start, cfg.end_epoch):
+            te = time.time()
+            last = self.train_epoch(epoch)
+            logger.info("epoch %d done in %.1fs", epoch, time.time() - te)
+            if should_save(epoch, cfg.save_freq, cfg.end_epoch):
+                self.ckpt.save(epoch, self.state.params,
+                               self.state.opt_state,
+                               int(self.state.step))
+        # final save (train.py:256-263)
+        self.ckpt.save(cfg.end_epoch, self.state.params,
+                       self.state.opt_state, int(self.state.step))
+        self.ckpt.wait()
+        logger.info("The total training time is %.2f hours",
+                    (time.time() - t0) / 3600)
+        return last
+
+
+def ocp_abstract(x):
+    return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Training driver (reference: train.py / train_amp.py / train_no_amp.py).
+
+Single-program SPMD over all local devices (or --num-devices).  With no
+--root, trains on synthetic volumes so the full loop is runnable anywhere.
+
+Examples:
+  python scripts/train.py --end-epoch 2              # synthetic smoke run
+  python scripts/train.py --root /data/BraTS2018 --amp --end-epoch 1000
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # dataset (reference train.py:44-73)
+    p.add_argument("--root", default="", help="BraTS root; empty = synthetic")
+    p.add_argument("--train-file", default="train.txt")
+    p.add_argument("--drop-modal", action="store_true")
+    p.add_argument("--num-workers", type=int, default=8)
+    # training (reference train.py:76-108)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-5)
+    p.add_argument("--criterion", default="softmax_dice")
+    p.add_argument("--seed", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="per-device batch size")
+    p.add_argument("--start-epoch", type=int, default=0)
+    p.add_argument("--end-epoch", type=int, default=1000)
+    p.add_argument("--save-freq", type=int, default=50)
+    p.add_argument("--resume", default="", help="checkpoint dir to resume")
+    p.add_argument("--experiment", default="clswiseformer_tpu")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--log-dir", default="logs")
+    p.add_argument("--num-devices", type=int, default=None)
+    # model
+    p.add_argument("--img-dim", type=int, default=128)
+    p.add_argument("--base-channels", type=int, default=16)
+    p.add_argument("--pe-type", default="fixed",
+                   choices=["fixed", "sinusoidal", "learned"])
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 compute (train_amp.py equivalent, incl. its "
+                        "LR restart quirk at epoch 249)")
+    p.add_argument("--no-amp-lr-quirk", action="store_true",
+                   help="with --amp, keep the plain poly schedule")
+    p.add_argument("--pallas-attention", action="store_true")
+    return p.parse_args(argv)
+
+
+def build_config(a):
+    from dctseg.config import (Config, DataConfig, ModelConfig, TrainConfig)
+    model = ModelConfig(
+        img_dim=a.img_dim, base_channels=a.base_channels, pe_type=a.pe_type,
+        compute_dtype="bfloat16" if a.amp else "float32",
+        use_pallas_attention=a.pallas_attention,
+        **({} if a.img_dim == 128 else {"top_num": min(128, (a.img_dim // 16) ** 3)}))
+    data = DataConfig(root=a.root, train_file=a.train_file,
+                      drop_modal=a.drop_modal, num_workers=a.num_workers,
+                      seed=a.seed)
+    train = TrainConfig(
+        lr=a.lr, weight_decay=a.weight_decay, criterion=a.criterion,
+        start_epoch=a.start_epoch, end_epoch=a.end_epoch,
+        save_freq=a.save_freq, seed=a.seed, batch_size=a.batch_size,
+        amp_lr_restart_epoch=(249 if a.amp and not a.no_amp_lr_quirk
+                              else None),
+        resume=a.resume, checkpoint_dir=a.checkpoint_dir,
+        experiment=a.experiment, num_devices=a.num_devices)
+    return Config(model=model, data=data, train=train)
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    from dctseg.train.trainer import Trainer
+    from dctseg.utils.logging_utils import setup_logging
+
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    log = setup_logging(os.path.join(a.log_dir,
+                                     f"{a.experiment}_{stamp}.txt"))
+    for k, v in sorted(vars(a).items()):
+        log.info("%s=%s", k, v)
+    cfg = build_config(a)
+    trainer = Trainer(cfg)
+    log.info("devices: %s  global batch: %d",
+             trainer.mesh.devices.ravel().tolist(), trainer.global_batch)
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

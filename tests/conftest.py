@@ -22,3 +22,11 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return jax.random.PRNGKey(0)
+
+# Persistent compilation cache: identical HLO (tiny configs recompiled by
+# fresh Trainer instances, and across pytest runs) hits the disk cache
+# instead of recompiling for minutes on CPU.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
