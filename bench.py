@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark: sliding-window inference throughput (volumes/sec) on one chip.
+
+Measures the BASELINE.md headline — ``tailor_and_concat`` 8-crop sliding-
+window inference over a 240x240x160 volume (reference predict.py:37-65,
+timed at predict_cls.py:137-144) — with the full-size ClsWiseFormer in bf16
+on the available accelerator, and compares against the PyTorch-CPU reference
+measured on this container (BASELINE_MEASURED.json; 288.76 s/volume).
+
+Prints ONE JSON line:
+  {"metric": "sliding_window_inference", "value": <volumes/sec>,
+   "unit": "volumes/sec", "vs_baseline": <speedup factor>}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dctseg.config import ModelConfig
+    from dctseg.infer.engine import Predictor
+    from dctseg.models.clswiseformer import build_model
+
+    cfg = ModelConfig(compute_dtype="bfloat16")
+    model = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 128, 128, 128, 4), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, x0, train=False))(key)
+    predictor = Predictor(model, params)
+
+    rng = np.random.default_rng(0)
+    vols = [jnp.asarray(rng.normal(size=(1, 240, 240, 160, 4))
+                        .astype(np.float32)) for _ in range(4)]
+
+    # warmup / compile
+    y = predictor.tiled_probs(vols[0])
+    float(jnp.sum(y))
+
+    # steady-state: distinct volumes; a scalar host fetch per iteration
+    # guarantees full execution (block_until_ready alone has been observed
+    # to return early under the axon remote-execution relay)
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        y = predictor.tiled_probs(vols[i % len(vols)])
+        float(y[0, 0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / n_iters
+    vps = 1.0 / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    with open(baseline_path) as f:
+        base = json.load(f)["torch_cpu_volumes_per_sec"]
+
+    print(json.dumps({
+        "metric": "sliding_window_inference",
+        "value": round(vps, 4),
+        "unit": "volumes/sec",
+        "vs_baseline": round(vps / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -59,24 +59,34 @@ class Predictor:
     # ---- flip TTA (predict_simple.py:333-349) ----
 
     @functools.cached_property
-    def _tta_fn(self) -> Callable:
-        def tta(params, x):
-            # x: (1, D, H, W, M) -> batch of 8 flipped variants
-            xs = jnp.concatenate(
+    def _flip_batch_fn(self) -> Callable:
+        def flips(x):
+            # x: (1, D, H, W, M) -> (8, D, H, W, M) flipped variants
+            return jnp.concatenate(
                 [jax.lax.rev(x, c) if c else x for c in FLIP_COMBOS], axis=0)
-            probs = self.model.apply(params, xs, train=False)[0]
+        return jax.jit(flips)
+
+    @functools.cached_property
+    def _unflip_mean_fn(self) -> Callable:
+        def unflip_mean(probs):
             acc = jnp.zeros_like(probs[0:1], dtype=jnp.float32)
             for i, c in enumerate(FLIP_COMBOS):
                 p = probs[i:i + 1]
                 p = jax.lax.rev(p, c) if c else p
                 acc = acc + jax.nn.softmax(p.astype(jnp.float32), axis=-1)
             return acc / len(FLIP_COMBOS)
-        return jax.jit(tta)
+        return jax.jit(unflip_mean)
 
     def tta_probs(self, x: jnp.ndarray) -> jnp.ndarray:
-        """8-way flip TTA with double-softmax averaging; x must be (1,...)."""
+        """8-way flip TTA with double-softmax averaging; x must be (1,...).
+
+        Staged (flips -> shared B=8 forward -> unflip+mean) so the big
+        batched-forward executable is shared with the tiling path and the
+        TPU compiler never sees one monolithic program (which OOMs)."""
         assert x.shape[0] == 1, "TTA operates per volume"
-        return self._tta_fn(self.params, x)
+        xs = self._flip_batch_fn(x)
+        probs = self._fwd(self.params, xs)
+        return self._unflip_mean_fn(probs)
 
     # ---- sliding-window tiling (predict.py:37-65) ----
 
@@ -95,13 +105,16 @@ class Predictor:
         ]
 
     @functools.cached_property
-    def _tiled_fn(self) -> Callable:
-        def tiled(params, x, stitch_ref: bool):
-            # x: (1, 240, 240, >=155, M)
+    def _crops_fn(self) -> Callable:
+        def crops_cat(x):
             crops = self._crops(x.shape[3])
-            xs = jnp.concatenate([x[:, h, w, d, :] for h, w, d in crops],
-                                 axis=0)                       # (8,128^3,M)
-            t = self.model.apply(params, xs, train=False)[0]   # (8,128^3,C)
+            return jnp.concatenate([x[:, h, w, d, :] for h, w, d in crops],
+                                   axis=0)                     # (8,128^3,M)
+        return jax.jit(crops_cat)
+
+    @functools.cached_property
+    def _stitch_fn(self) -> Callable:
+        def stitch(t, stitch_ref: bool):
             c = t.shape[-1]
             y = jnp.zeros((1, 240, 240, 155, c), t.dtype)
             # stitch-back (predict.py:56-63): later crops overwrite the
@@ -120,13 +133,20 @@ class Predictor:
             y = y.at[:, 128:240, 128:240, 128:155].set(
                 t[7:8, 16:128, 16:128, lo:hi])
             return y
-        return jax.jit(tiled, static_argnums=2)
+        return jax.jit(stitch, static_argnums=1)
 
     def tiled_probs(self, x: jnp.ndarray,
                     stitch_mode: str = "reference") -> jnp.ndarray:
-        """(1, 240, 240, >=155, M) -> (1, 240, 240, 155, C)."""
+        """(1, 240, 240, >=155, M) -> (1, 240, 240, 155, C).
+
+        Three jitted stages (crops -> batched forward -> stitch) rather than
+        one fused program: the monolithic version crashes the TPU compiler,
+        and splitting lets the B=8 forward executable be shared with other
+        callers; per-volume dispatch overhead is negligible."""
         assert x.shape[0] == 1
-        return self._tiled_fn(self.params, x, stitch_mode == "reference")
+        xs = self._crops_fn(x)
+        t = self._fwd(self.params, xs)
+        return self._stitch_fn(t, stitch_mode == "reference")
 
     def tiled_tta_probs(self, x: jnp.ndarray,
                         stitch_mode: str = "reference") -> jnp.ndarray:

@@ -1,0 +1,120 @@
+"""Inference engine tests: TTA equivalence, tiling stitch logic, ensembling,
+and the end-to-end validate loop with exporters."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dctseg.config import DataConfig, tiny_model_config
+from dctseg.data.brats import BraTSDataset
+from dctseg.data.pipeline import PrefetchLoader
+from dctseg.infer.engine import FLIP_COMBOS, Predictor, ensemble_probs
+from dctseg.infer.validate import validate_softmax
+from dctseg.models.clswiseformer import build_model
+
+
+class _PassThrough:
+    """Fake model: 'probs' = first 4 input channels (position-coded)."""
+
+    def apply(self, params, x, train=False):
+        return (x[..., :4] + params,)
+
+
+@pytest.fixture(scope="module")
+def tiny_predictor():
+    cfg = tiny_model_config()
+    model = build_model(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 32, 32, 32, 4))
+    params = model.init({"params": key, "dropout": key}, x, train=False)
+    return Predictor(model, params), x
+
+
+def test_tta_equals_sequential_flips(tiny_predictor):
+    """The batched-8 TTA must equal the reference's sequential 8 forwards
+    with double softmax (predict_simple.py:333-349)."""
+    pred, x = tiny_predictor
+    got = np.asarray(pred.tta_probs(x))
+
+    acc = 0
+    for c in FLIP_COMBOS:
+        xf = jax.lax.rev(x, c) if c else x
+        p = pred.seg_probs(xf)
+        p = jax.lax.rev(p, c) if c else p
+        acc = acc + jax.nn.softmax(p.astype(jnp.float32), -1)
+    want = np.asarray(acc / 8)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-4)
+
+
+def test_tiled_stitch_aligned_is_identity():
+    """With a pass-through model, aligned stitching reproduces the input."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 240, 240, 160, 4)) \
+                    .astype(np.float32))
+    pred = Predictor(_PassThrough(), jnp.asarray(0.0))
+    y = np.asarray(pred.tiled_probs(x, stitch_mode="aligned"))
+    np.testing.assert_allclose(y, np.asarray(x)[:, :, :, :155], atol=1e-6)
+
+
+def test_tiled_stitch_reference_offset():
+    """Reference mode reproduces the 5-slice misalignment in the deep
+    window (predict.py:60-63): output depth 128:155 holds input 123:150."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 240, 240, 160, 4)) \
+                    .astype(np.float32))
+    pred = Predictor(_PassThrough(), jnp.asarray(0.0))
+    y = np.asarray(pred.tiled_probs(x, stitch_mode="reference"))
+    xn = np.asarray(x)
+    np.testing.assert_allclose(y[:, :, :, :128], xn[:, :, :, :128],
+                               atol=1e-6)
+    np.testing.assert_allclose(y[:, :, :, 128:155], xn[:, :, :, 123:150],
+                               atol=1e-6)
+
+
+def test_ensemble_average():
+    x = jnp.ones((1, 240, 240, 160, 4))
+    pred = Predictor(_PassThrough(), jnp.asarray(0.0))
+    out = ensemble_probs(lambda: pred.tiled_probs(x, "aligned"), pred,
+                         [jnp.asarray(0.0), jnp.asarray(2.0)])
+    np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-6)  # (1+3)/2
+    out4 = ensemble_probs(lambda: pred.tiled_probs(x, "aligned"), pred,
+                          [jnp.asarray(0.0), jnp.asarray(2.0)], divisor=4.0)
+    np.testing.assert_allclose(np.asarray(out4), 1.0, atol=1e-6)
+
+
+def test_validate_softmax_end_to_end(tmp_path, tiny_predictor):
+    pred, _ = tiny_predictor
+    cfg = DataConfig(synthetic_num_samples=2, input_shape=(48, 48, 40),
+                     pad_depth=40, crop_size=(32, 32, 32))
+    ds = BraTSDataset(mode="valid", cfg=cfg)
+    loader = PrefetchLoader(ds, batch_size=1, shuffle=False, num_workers=1)
+    out = validate_softmax(
+        loader, pred, strategy="tta", use_hd95=True,
+        snapshot=True, csv_export=True, save_nifti=True,
+        visual=str(tmp_path / "visual"), savepath=str(tmp_path / "sub"))
+    for k in ("wt", "tc", "et", "hd95_wt", "miou_et", "sec_per_volume"):
+        assert np.isfinite(out[k]), k
+    # artifacts exist
+    name = ds.names[0]
+    assert os.path.exists(tmp_path / "sub" / f"{name}.nii.gz")
+    assert os.path.exists(tmp_path / "visual" / name / "predict")
+    csvs = list((tmp_path / "visual" / name / "predict" / name).glob("*.csv"))
+    assert len(csvs) == 3  # wt/tc/et sorted exports
+    # NIfTI submission uses raw BraTS labels {0,1,2,4}
+    from dctseg.data import nifti
+    seg = nifti.load(str(tmp_path / "sub" / f"{name}.nii.gz")).data
+    assert set(np.unique(seg)) <= {0, 1, 2, 4}
+
+
+def test_validate_single_strategy(tiny_predictor):
+    pred, _ = tiny_predictor
+    cfg = DataConfig(synthetic_num_samples=1, input_shape=(48, 48, 40),
+                     pad_depth=40, crop_size=(32, 32, 32))
+    ds = BraTSDataset(mode="valid", cfg=cfg)
+    loader = PrefetchLoader(ds, batch_size=1, shuffle=False, num_workers=1)
+    out = validate_softmax(loader, pred, strategy="single", use_hd95=False)
+    assert np.isfinite(out["wt"])
