@@ -44,7 +44,17 @@ class Sample:
 
 
 def zscore_nonzero(img: np.ndarray) -> np.ndarray:
-    """Per-modality z-score over nonzero voxels; zeros stay zero."""
+    """Per-modality z-score over nonzero voxels; zeros stay zero.
+
+    Dispatches to the fused C++ kernel (dctseg/native) when available."""
+    from dctseg.native import native_zscore
+    out = native_zscore(np.asarray(img, np.float32))
+    if out is not None:
+        return out
+    return _zscore_nonzero_np(img)
+
+
+def _zscore_nonzero_np(img: np.ndarray) -> np.ndarray:
     out = np.zeros_like(img, dtype=np.float32)
     for m in range(img.shape[-1]):
         chan = img[..., m]

@@ -33,7 +33,18 @@ def region_boundary(mask: np.ndarray, connectivity: int = 1) -> np.ndarray:
 
 
 def make_edge_map(label: np.ndarray) -> np.ndarray:
-    """(D, H, W) int labels {0,1,2,3} -> uint8 edge codes {0,1,2,4,5,6,7,8}."""
+    """(D, H, W) int labels {0,1,2,3} -> uint8 edge codes {0,1,2,4,5,6,7,8}.
+
+    Dispatches to the one-pass C++ kernel (dctseg/native) when available;
+    the scipy path below is the reference implementation and fallback."""
+    from dctseg.native import native_edge_map
+    out = native_edge_map(label)
+    if out is not None:
+        return out
+    return _make_edge_map_scipy(label)
+
+
+def _make_edge_map_scipy(label: np.ndarray) -> np.ndarray:
     bits = np.zeros(label.shape, np.uint8)
     for region, bit in _BIT.items():
         b = region_boundary(label == region)

@@ -1,0 +1,99 @@
+"""Native (C++) host-pipeline kernels with transparent Python fallback.
+
+``lib()`` compiles dctseg/native/edge_map.cc on first use (g++ -O3 -shared,
+cached next to the source) and exposes it via ctypes; when no toolchain is
+available everything falls back to the scipy/numpy implementations, so the
+framework never hard-depends on the native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "edge_map.cc")
+_SO = os.path.join(_DIR, "_libdctseg.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO,
+           _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        try:  # retry without -march=native (portability)
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
+                            _SRC], check=True, capture_output=True,
+                           timeout=120)
+            return True
+        except (OSError, subprocess.SubprocessError):
+            return False
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The compiled library, or None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            l = ctypes.CDLL(_SO)
+            l.edge_map_i32.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+            l.zscore_nonzero_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64]
+            _lib = l
+        except OSError:
+            _lib = None
+        return _lib
+
+
+def native_edge_map(label: np.ndarray) -> Optional[np.ndarray]:
+    """One-pass edge map; None if the native library is unavailable."""
+    l = lib()
+    if l is None:
+        return None
+    label = np.ascontiguousarray(label, np.int32)
+    out = np.empty(label.shape, np.uint8)
+    d0, d1, d2 = label.shape
+    l.edge_map_i32(
+        label.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        d0, d1, d2)
+    return out
+
+
+def native_zscore(img: np.ndarray) -> Optional[np.ndarray]:
+    """Fused per-modality nonzero z-score; None when unavailable."""
+    l = lib()
+    if l is None:
+        return None
+    img = np.ascontiguousarray(img, np.float32)
+    out = np.empty_like(img)
+    n = int(np.prod(img.shape[:-1]))
+    m = img.shape[-1]
+    l.zscore_nonzero_f32(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, m)
+    return out

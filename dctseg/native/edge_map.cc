@@ -1,0 +1,115 @@
+// Native data-loader kernels for the dctseg host pipeline.
+//
+// The reference has no native code anywhere (SURVEY.md §2) and its data
+// package is absent; our Python/scipy edge-map generator costs ~36 full
+// volume passes (binary dilation + erosion per region, 6-connectivity).
+// This C++ kernel computes the 8-valued composite edge map in ONE pass and
+// fuses the per-modality z-score normalization, keeping the host pipeline
+// from starving the TPU (measured: the train step is ~0.6 s while the
+// Python loader took ~40 s/volume).
+//
+// Built by dctseg/native/build.py (g++ -O3 -shared), loaded via ctypes.
+// Edge-code semantics match dctseg/data/edge.py exactly:
+//   bits: region1 -> 1, region2 -> 2, region4(label 3) -> 4
+//   codes: {1}->1 {2}->2 {4}->4 {1,2}->6 {1,4}->7 {2,4}->8 {1,2,4}->5
+// Boundary = morphological gradient: dilation(mask) && !erosion(mask),
+// 6-connectivity, zero-padded outside (scipy binary_erosion/dilation
+// border_value=0 semantics).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+
+namespace {
+
+inline int bit_of_label(int32_t v) {
+  // label -> region bit (0 when background)
+  switch (v) {
+    case 1: return 1;
+    case 2: return 2;
+    case 3: return 4;
+    default: return 0;
+  }
+}
+
+const uint8_t kCode[8] = {0, 1, 2, 6, 4, 7, 8, 5};  // bits -> edge code
+
+}  // namespace
+
+extern "C" {
+
+// label: (d0, d1, d2) int32 in {0,1,2,3}; out: same shape uint8 edge codes.
+void edge_map_i32(const int32_t* label, uint8_t* out,
+                  int64_t d0, int64_t d1, int64_t d2) {
+  const int64_t s0 = d1 * d2, s1 = d2;
+  for (int64_t i = 0; i < d0; ++i) {
+    for (int64_t j = 0; j < d1; ++j) {
+      const int64_t base = i * s0 + j * s1;
+      for (int64_t k = 0; k < d2; ++k) {
+        const int64_t idx = base + k;
+        const int32_t c = label[idx];
+        // gather the 6-neighbourhood (zero outside the volume)
+        int32_t n[6];
+        n[0] = (i > 0) ? label[idx - s0] : 0;
+        n[1] = (i + 1 < d0) ? label[idx + s0] : 0;
+        n[2] = (j > 0) ? label[idx - s1] : 0;
+        n[3] = (j + 1 < d1) ? label[idx + s1] : 0;
+        n[4] = (k > 0) ? label[idx - 1] : 0;
+        n[5] = (k + 1 < d2) ? label[idx + 1] : 0;
+        const bool interior = (i > 0 && i + 1 < d0 && j > 0 && j + 1 < d1 &&
+                               k > 0 && k + 1 < d2);
+        int bits = 0;
+        for (int r = 0; r < 3; ++r) {
+          const int32_t lab = (r == 0) ? 1 : (r == 1) ? 2 : 3;
+          const int bit = 1 << r;
+          const bool self = (c == lab);
+          bool any = self, all = self;
+          for (int t = 0; t < 6; ++t) {
+            const bool m = (n[t] == lab);
+            any |= m;
+            all &= m;
+          }
+          // erosion with zero border: boundary voxels can never be eroded
+          const bool ero = self && all && interior;
+          const bool dil = any;
+          if (dil && !ero) bits |= bit;
+        }
+        out[idx] = kCode[bits];
+      }
+    }
+  }
+}
+
+// img: (d0, d1, d2, m) float32; z-score each modality over its nonzero
+// voxels, zeros stay zero (dctseg/data/brats.py zscore_nonzero).
+void zscore_nonzero_f32(const float* img, float* out,
+                        int64_t n_voxels, int64_t m) {
+  for (int64_t c = 0; c < m; ++c) {
+    double sum = 0.0, sumsq = 0.0;
+    int64_t count = 0;
+    for (int64_t v = 0; v < n_voxels; ++v) {
+      const float x = img[v * m + c];
+      if (x != 0.0f) {
+        sum += x;
+        sumsq += static_cast<double>(x) * x;
+        ++count;
+      }
+    }
+    if (count == 0) {
+      for (int64_t v = 0; v < n_voxels; ++v) out[v * m + c] = 0.0f;
+      continue;
+    }
+    const double mean = sum / count;
+    // numpy std: population (ddof=0)
+    double var = sumsq / count - mean * mean;
+    if (var < 0.0) var = 0.0;
+    const double inv = 1.0 / (std::sqrt(var) + 1e-8);
+    for (int64_t v = 0; v < n_voxels; ++v) {
+      const float x = img[v * m + c];
+      out[v * m + c] =
+          (x != 0.0f) ? static_cast<float>((x - mean) * inv) : 0.0f;
+    }
+  }
+}
+
+}  // extern "C"
