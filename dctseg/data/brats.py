@@ -97,27 +97,30 @@ class BraTSDataset:
 
     # ---- raw IO ----
 
-    def _load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray, str]:
+    def _load_raw(self, idx: int):
+        """Returns (channels: list of (H, W, D) float32 arrays, label raw
+        {0,1,2,4}, path).  Channels stay separate (no stack) so the crop
+        path never materializes the full 4-modality volume — this host's
+        memory bandwidth is the loader bottleneck."""
         name = self.names[idx]
         if self.synthetic:
-            img, label = synthetic.make_volume(
+            chans, label = synthetic.make_volume_channels(
                 idx, self.cfg.input_shape, len(self.cfg.modalities))
-            return img, label, ""
+            return list(chans), label, ""
         case_dir = os.path.join(self.root, name)
-        mods = []
+        chans = []
         for mod in self.cfg.modalities:
             p = os.path.join(case_dir, f"{name}_{mod}.nii.gz")
             if not os.path.exists(p):
                 p = p[:-3]  # allow uncompressed .nii
-            mods.append(np.asarray(nifti.load(p).data, np.float32))
-        img = np.stack(mods, axis=-1)
+            chans.append(np.asarray(nifti.load(p).data, np.float32))
         seg_p = os.path.join(case_dir, f"{name}_seg.nii.gz")
         if not os.path.exists(seg_p):
             seg_p = seg_p[:-3]
         label = (np.asarray(nifti.load(seg_p).data, np.uint8)
                  if os.path.exists(seg_p) else
-                 np.zeros(img.shape[:-1], np.uint8))
-        return img, label, case_dir + os.sep
+                 np.zeros(chans[0].shape, np.uint8))
+        return chans, label, case_dir + os.sep
 
     # ---- assembly ----
 
@@ -148,29 +151,55 @@ class BraTSDataset:
 
     def get(self, idx: int, rng: Optional[np.random.Generator] = None
             ) -> Sample:
-        img, label, path = self._load_raw(idx)
-        label = np.where(label == 4, 3, label).astype(np.int32)
-        img = zscore_nonzero(img)
+        from dctseg.native import nonzero_stats, normalize_inplace
+
+        chans, label, path = self._load_raw(idx)
+        present = self._missing_modal(rng)
 
         if self.mode == "full":
-            img, label_padded = self._pad_depth(img, label)
-            present = self._missing_modal(rng)
-            img = img * present.astype(np.float32)
-            return Sample(x=img, target=label, edge=None,
+            out_chans = []
+            for m, c in enumerate(chans):
+                c = np.array(c, np.float32, order="C")  # writable copy
+                if present[m]:
+                    normalize_inplace(c, *nonzero_stats(c))
+                else:
+                    c[:] = 0.0
+                out_chans.append(c)
+            img = np.stack(out_chans, axis=-1)
+            target = np.where(label == 4, 3, label).astype(np.int32)
+            img, _ = self._pad_depth(img, target)
+            return Sample(x=img, target=target, edge=None,
                           missing_modal=present, name=self.names[idx],
                           path=path)
 
-        img, label = self._pad_depth(img, label)
-        crop_rng = rng if self.mode == "train" else None
-        o = self._crop_origin(img.shape, crop_rng)
+        # crop path: z-score statistics come from the FULL volume (standard
+        # BraTS recipe) but normalization is applied to the crop only —
+        # avoids two full-volume copies per sample.
         ch, cw, cd = self.cfg.crop_size
-        img = img[o[0]:o[0] + ch, o[1]:o[1] + cw, o[2]:o[2] + cd]
-        label = label[o[0]:o[0] + ch, o[1]:o[1] + cw, o[2]:o[2] + cd]
-        edge = make_edge_map(label).astype(np.int32)
-        present = self._missing_modal(rng)
-        img = img * present.astype(np.float32)
-        return Sample(x=np.ascontiguousarray(img), target=label, edge=edge,
-                      missing_modal=present, name=self.names[idx], path=path)
+        padded = (chans[0].shape[0], chans[0].shape[1], self.cfg.pad_depth)
+        crop_rng = rng if self.mode == "train" else None
+        o = self._crop_origin(padded, crop_rng)
+        raw_d = chans[0].shape[2]
+        d_hi = min(o[2] + cd, raw_d)          # crop may reach into padding
+        d_len = d_hi - o[2]
+
+        x = np.zeros((ch, cw, cd, len(chans)), np.float32)
+        for m, c in enumerate(chans):
+            if not present[m]:
+                continue
+            mean, std = nonzero_stats(c)
+            block = np.ascontiguousarray(
+                c[o[0]:o[0] + ch, o[1]:o[1] + cw, o[2]:d_hi], np.float32)
+            normalize_inplace(block, mean, std)
+            x[:, :, :d_len, m] = block
+
+        target = np.zeros((ch, cw, cd), np.int32)
+        target[:, :, :d_len] = \
+            label[o[0]:o[0] + ch, o[1]:o[1] + cw, o[2]:d_hi]
+        target[target == 4] = 3
+        edge = make_edge_map(target).astype(np.int32)
+        return Sample(x=x, target=target, edge=edge, missing_modal=present,
+                      name=self.names[idx], path=path)
 
     def __getitem__(self, idx: int) -> Sample:
         rng = self._rng if self.mode == "train" else None

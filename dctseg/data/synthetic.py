@@ -17,11 +17,27 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=4)
+def make_volume_channels(seed: int,
+                         shape: Tuple[int, int, int] = (240, 240, 155),
+                         num_modalities: int = 4):
+    """Returns (channels: tuple of M contiguous (H, W, D) float32 arrays,
+    label (H, W, D) uint8 with raw BraTS values {0, 1, 2, 4}).  Results are
+    cached; callers must not mutate the returned arrays."""
+    img, label = _make_volume_impl(seed, shape, num_modalities)
+    chans = tuple(np.ascontiguousarray(img[..., m])
+                  for m in range(num_modalities))
+    return chans, label
+
+
 def make_volume(seed: int, shape: Tuple[int, int, int] = (240, 240, 155),
                 num_modalities: int = 4):
     """Returns (image (H, W, D, M) float32, label (H, W, D) uint8 with raw
-    BraTS values {0, 1, 2, 4}).  Results are cached; callers must not mutate
-    the returned arrays (the dataset layer always copies via pad/where/mul)."""
+    BraTS values {0, 1, 2, 4})."""
+    chans, label = make_volume_channels(seed, shape, num_modalities)
+    return np.stack(chans, axis=-1), label
+
+
+def _make_volume_impl(seed, shape, num_modalities):
     rng = np.random.default_rng(seed)
     h, w, d = shape
     ii = np.arange(h, dtype=np.float32)[:, None, None]
@@ -74,9 +90,10 @@ def write_fake_dataset(root: str, num_train: int = 2, num_valid: int = 1,
     for i, name in enumerate(names):
         case_dir = os.path.join(root, name)
         os.makedirs(case_dir, exist_ok=True)
-        img, label = make_volume(seed * 1000 + i, shape, len(modalities))
+        chans, label = make_volume_channels(seed * 1000 + i, shape,
+                                            len(modalities))
         for m, mod in enumerate(modalities):
-            nifti.save(img[..., m].astype(np.float32),
+            nifti.save(chans[m],
                        os.path.join(case_dir, f"{name}_{mod}.nii.gz"))
         nifti.save(label, os.path.join(case_dir, f"{name}_seg.nii.gz"))
     with open(os.path.join(root, "train.txt"), "w") as f:

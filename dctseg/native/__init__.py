@@ -62,6 +62,13 @@ def lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int64, ctypes.c_int64]
+            l.nonzero_stats_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double)]
+            l.normalize_inplace_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float]
             _lib = l
         except OSError:
             _lib = None
@@ -81,6 +88,40 @@ def native_edge_map(label: np.ndarray) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         d0, d1, d2)
     return out
+
+
+def nonzero_stats(chan: np.ndarray):
+    """(mean, std) over nonzero elements of a contiguous array (any order);
+    numpy fallback when the native lib is unavailable."""
+    l = lib()
+    if l is not None and (chan.flags["C_CONTIGUOUS"]
+                          or chan.flags["F_CONTIGUOUS"]) \
+            and chan.dtype == np.float32:
+        mean = ctypes.c_double()
+        std = ctypes.c_double()
+        l.nonzero_stats_f32(
+            chan.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            chan.size, ctypes.byref(mean), ctypes.byref(std))
+        return mean.value, std.value
+    mask = chan != 0
+    if not mask.any():
+        return 0.0, 0.0
+    vals = chan[mask]
+    return float(vals.mean()), float(vals.std())
+
+
+def normalize_inplace(chan: np.ndarray, mean: float, std: float) -> None:
+    """In-place nonzero z-score of a C-contiguous float32 array."""
+    inv = 1.0 / (std + 1e-8)
+    l = lib()
+    if l is not None and chan.flags["C_CONTIGUOUS"] \
+            and chan.dtype == np.float32 and chan.flags["WRITEABLE"]:
+        l.normalize_inplace_f32(
+            chan.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            chan.size, np.float32(mean), np.float32(inv))
+        return
+    nz = chan != 0
+    chan[nz] = (chan[nz] - mean) * inv
 
 
 def native_zscore(img: np.ndarray) -> Optional[np.ndarray]:

@@ -112,4 +112,40 @@ void zscore_nonzero_f32(const float* img, float* out,
   }
 }
 
+// Single-pass nonzero mean/std over one contiguous channel (any memory
+// order).  Lets the loader compute full-volume normalization statistics
+// without materializing masks or copies — critical on this container's
+// very low host memory bandwidth.
+void nonzero_stats_f32(const float* x, int64_t n, double* mean_out,
+                       double* std_out) {
+  double sum = 0.0, sumsq = 0.0;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float v = x[i];
+    if (v != 0.0f) {
+      sum += v;
+      sumsq += static_cast<double>(v) * v;
+      ++count;
+    }
+  }
+  if (count == 0) {
+    *mean_out = 0.0;
+    *std_out = 0.0;
+    return;
+  }
+  const double mean = sum / count;
+  double var = sumsq / count - mean * mean;
+  if (var < 0.0) var = 0.0;
+  *mean_out = mean;
+  *std_out = std::sqrt(var);
+}
+
+// In-place (x - mean) * inv for nonzero elements; zeros stay zero.
+void normalize_inplace_f32(float* x, int64_t n, float mean, float inv) {
+  for (int64_t i = 0; i < n; ++i) {
+    const float v = x[i];
+    x[i] = (v != 0.0f) ? (v - mean) * inv : 0.0f;
+  }
+}
+
 }  // extern "C"
