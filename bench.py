@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
+    from dctseg.utils.jax_setup import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
     from dctseg.config import ModelConfig

@@ -16,7 +16,10 @@ from typing import Tuple
 import numpy as np
 
 
-@functools.lru_cache(maxsize=4)
+# cache all default synthetic samples (~156MB each; host RAM is ample) —
+# with maxsize < dataset size every epoch regenerates every volume (~20s
+# apiece on this slow host)
+@functools.lru_cache(maxsize=16)
 def make_volume_channels(seed: int,
                          shape: Tuple[int, int, int] = (240, 240, 155),
                          num_modalities: int = 4):

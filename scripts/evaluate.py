@@ -54,6 +54,8 @@ def parse_args(argv=None):
 def main(argv=None):
     a = parse_args(argv)
     import jax
+    from dctseg.utils.jax_setup import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from dctseg.config import DataConfig, ModelConfig
     from dctseg.data.brats import BraTSDataset

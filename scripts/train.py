@@ -77,6 +77,8 @@ def build_config(a):
 def main(argv=None):
     a = parse_args(argv)
     from dctseg.train.trainer import Trainer
+    from dctseg.utils.jax_setup import enable_compile_cache
+    enable_compile_cache()
     from dctseg.utils.logging_utils import setup_logging
 
     stamp = time.strftime("%Y%m%d_%H%M%S")
