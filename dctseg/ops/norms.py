@@ -18,14 +18,20 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm over an NDHWC tensor (reduce over D,H,W per (B, C)).
 
     Matches ``torch.nn.InstanceNorm3d(C)`` defaults (no affine, biased
-    variance, eps=1e-5).  Statistics are accumulated in float32 regardless of
-    the compute dtype (AMP-safe).
+    variance, eps=1e-5).  Statistics accumulate in float32 *inside the
+    reductions* (dtype=f32 over the bf16 input) rather than via an explicit
+    fp32 copy of the activation — the model is HBM-bandwidth-bound on TPU
+    and the fp32 materialization doubled the bytes of every norm.
     """
-    dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = x32.mean(axis=(1, 2, 3), keepdims=True)
-    var = x32.var(axis=(1, 2, 3), keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(dtype)
+    axes = (1, 2, 3)
+    mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+    sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes,
+                  keepdims=True, dtype=jnp.float32)
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    # (x - mean) * scale evaluated in the compute dtype with f32 broadcast
+    # scalars; XLA folds the per-(B,C) scalars into one elementwise pass.
+    return ((x.astype(jnp.float32) - mean) * scale).astype(x.dtype)
 
 
 def group_norm(x: jnp.ndarray, num_groups: int, scale: jnp.ndarray,

@@ -1,0 +1,49 @@
+"""Multi-host (multi-process) initialization.
+
+The reference's multi-GPU story is one process per GPU over NCCL, launched
+by ``torch.distributed.launch`` (train.py:1,128).  The TPU-native analogue
+is ``jax.distributed.initialize`` — one process per host, all chips of a pod
+slice join a single global mesh over ICI/DCN; the SPMD train step in
+dctseg/train/trainer.py then works unchanged because the mesh simply grows
+(XLA partitions over all global devices).
+
+On Cloud TPU, initialize() autodetects everything from the metadata server;
+elsewhere pass coordinator/num_processes/process_id explicitly (or set the
+standard env vars).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+
+logger = logging.getLogger("dctseg")
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Join the global multi-host runtime (no-op for single-process runs
+    unless coordination info is provided or discoverable)."""
+    explicit = coordinator_address or os.environ.get("JAX_COORDINATOR")
+    if explicit or num_processes is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address
+            or os.environ.get("JAX_COORDINATOR"),
+            num_processes=num_processes
+            or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=process_id
+            or int(os.environ.get("JAX_PROCESS_ID", "0")))
+        logger.info("jax.distributed initialized: process %d/%d, "
+                    "%d local / %d global devices",
+                    jax.process_index(), jax.process_count(),
+                    jax.local_device_count(), jax.device_count())
+
+
+def is_primary() -> bool:
+    """The logging/checkpointing gate (the reference's rank == print_rank,
+    train.py:113)."""
+    return jax.process_index() == 0
