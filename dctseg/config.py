@@ -102,6 +102,10 @@ class DataConfig:
     crop_size: Tuple[int, int, int] = (128, 128, 128)
     modalities: Tuple[str, ...] = ("flair", "t1", "t1ce", "t2")
     drop_modal: bool = False        # random modality dropout at load time
+    # optional train-time augmentation (the reference's loader is absent
+    # upstream; these mirror the standard BraTS recipe, default off)
+    augment_flip: bool = False      # random axis flips (image+target+edge)
+    augment_intensity: float = 0.0  # per-channel scale/shift jitter amount
     num_workers: int = 8
     prefetch: int = 2
     seed: int = 1000

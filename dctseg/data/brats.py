@@ -197,6 +197,23 @@ class BraTSDataset:
         target[:, :, :d_len] = \
             label[o[0]:o[0] + ch, o[1]:o[1] + cw, o[2]:d_hi]
         target[target == 4] = 3
+
+        if self.mode == "train" and rng is not None:
+            if self.cfg.augment_flip:
+                for ax in range(3):
+                    if rng.random() < 0.5:
+                        x = np.flip(x, axis=ax)
+                        target = np.flip(target, axis=ax)
+            a = self.cfg.augment_intensity
+            if a > 0.0:
+                scale = rng.uniform(1 - a, 1 + a, size=x.shape[-1])
+                shift = rng.uniform(-a, a, size=x.shape[-1])
+                nz = x != 0
+                x = np.where(nz, x * scale.astype(np.float32)
+                             + shift.astype(np.float32), 0.0)
+            x = np.ascontiguousarray(x)
+            target = np.ascontiguousarray(target)
+
         edge = make_edge_map(target).astype(np.int32)
         return Sample(x=x, target=target, edge=edge, missing_modal=present,
                       name=self.names[idx], path=path)

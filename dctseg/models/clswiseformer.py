@@ -141,6 +141,10 @@ class ClsWiseFormer(nn.Module):
         cfg = self.cfg
         g = self.geom
         k = cfg.top_num
+        d = cfg.img_dim
+        assert x.shape[1:] == (d, d, d, cfg.in_channels), (
+            f"ClsWiseFormer(img_dim={d}) expects input (B, {d}, {d}, {d}, "
+            f"{cfg.in_channels}); got {x.shape}")
         x = x.astype(self.dtype)
 
         x1_1, x2_1, x3_1, bottleneck = self.unet(x, train=train)

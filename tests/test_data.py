@@ -151,3 +151,18 @@ def test_prefetch_loader_order_and_shapes():
     assert batches[0].x.shape == (2, 32, 32, 32, 4)
     assert batches[0].names == ds.names[:2]
     assert batches[1].names == ds.names[2:]
+
+
+def test_augmentation_flags():
+    cfg = DataConfig(synthetic_num_samples=1, input_shape=(48, 48, 40),
+                     pad_depth=40, crop_size=(32, 32, 32),
+                     augment_flip=True, augment_intensity=0.1)
+    ds = BraTSDataset(mode="train", cfg=cfg)
+    rng = np.random.default_rng(0)
+    a = ds.get(0, rng)
+    b = ds.get(0, rng)
+    assert a.x.shape == b.x.shape == (32, 32, 32, 4)
+    assert not np.array_equal(a.x, b.x)  # stochastic augmentation
+    # edge map consistent with (possibly flipped) target
+    from dctseg.data.edge import _make_edge_map_scipy
+    np.testing.assert_array_equal(a.edge, _make_edge_map_scipy(a.target))
