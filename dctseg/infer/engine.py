@@ -40,13 +40,26 @@ FLIP_COMBOS: List[tuple] = [
 
 
 class Predictor:
-    """Jit-compiled inference over a fixed parameter set."""
+    """Jit-compiled inference over a fixed parameter set.
 
-    def __init__(self, model, params):
+    ``microbatch`` caps the per-call forward batch (the TTA/tiling engines
+    batch 8 variants; fp32 at B=8 exceeds a 16GB chip — pass microbatch=4
+    to split, at the cost of one extra executable)."""
+
+    def __init__(self, model, params, microbatch: Optional[int] = None):
         self.model = model
         self.params = params
+        self.microbatch = microbatch
         self._fwd = jax.jit(
             lambda p, x: self.model.apply(p, x, train=False)[0])
+
+    def _forward(self, params, xs):
+        mb = self.microbatch
+        if mb is None or xs.shape[0] <= mb:
+            return self._fwd(params, xs)
+        outs = [self._fwd(params, xs[i:i + mb])
+                for i in range(0, xs.shape[0], mb)]
+        return jnp.concatenate(outs, axis=0)
 
     def update_params(self, params):
         """Swap checkpoints without recompiling (for ensembling/sweeps)."""
@@ -85,7 +98,7 @@ class Predictor:
         TPU compiler never sees one monolithic program (which OOMs)."""
         assert x.shape[0] == 1, "TTA operates per volume"
         xs = self._flip_batch_fn(x)
-        probs = self._fwd(self.params, xs)
+        probs = self._forward(self.params, xs)
         return self._unflip_mean_fn(probs)
 
     # ---- sliding-window tiling (predict.py:37-65) ----
@@ -145,7 +158,7 @@ class Predictor:
         callers; per-volume dispatch overhead is negligible."""
         assert x.shape[0] == 1
         xs = self._crops_fn(x)
-        t = self._fwd(self.params, xs)
+        t = self._forward(self.params, xs)
         return self._stitch_fn(t, stitch_mode == "reference")
 
     def tiled_tta_probs(self, x: jnp.ndarray,

@@ -186,7 +186,11 @@ class Trainer:
                     last["dice_et"], last["pred_counts"])
         return last
 
-    def fit(self) -> Dict[str, float]:
+    def fit(self, eval_fn: Optional[Callable] = None) -> Dict[str, float]:
+        """Run the full training loop.  ``eval_fn(trainer, epoch)`` is an
+        optional validation hook invoked at every checkpoint save (the
+        reference's validate-in-train capability, predict_simple.py:283
+        ``valid_in_train``)."""
         cfg = self.cfg.train
         if self.state is None:
             if cfg.resume:
@@ -206,6 +210,8 @@ class Trainer:
                 self.ckpt.save(epoch, self.state.params,
                                self.state.opt_state,
                                int(self.state.step))
+                if eval_fn is not None:
+                    eval_fn(self, epoch)
         # final save (train.py:256-263)
         self.ckpt.save(cfg.end_epoch, self.state.params,
                        self.state.opt_state, int(self.state.step))

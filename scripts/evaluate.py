@@ -107,7 +107,8 @@ def main(argv=None):
             params = ckpt.restore_params(epochs[0], abstract)
             log.info("loaded checkpoint epoch %s", epochs[0])
 
-    predictor = Predictor(model, params)
+    predictor = Predictor(model, params,
+                          microbatch=4 if a.fp32 else None)
     n_params = sum(int(x.size) for x in jax.tree.leaves(params))
     log.info("sum===== %d", n_params)
 

@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--no-amp-lr-quirk", action="store_true",
                    help="with --amp, keep the plain poly schedule")
     p.add_argument("--pallas-attention", action="store_true")
+    p.add_argument("--eval-at-save", action="store_true",
+                   help="run a validation pass (single-patch, no TTA) on "
+                        "the valid split at every checkpoint save")
     return p.parse_args(argv)
 
 
@@ -90,7 +93,29 @@ def main(argv=None):
     trainer = Trainer(cfg)
     log.info("devices: %s  global batch: %d",
              trainer.mesh.devices.ravel().tolist(), trainer.global_batch)
-    trainer.fit()
+
+    eval_fn = None
+    if a.eval_at_save:
+        import os as _os
+        from dctseg.data.brats import BraTSDataset
+        from dctseg.data.pipeline import PrefetchLoader
+        from dctseg.infer.engine import Predictor
+        from dctseg.infer.validate import validate_softmax
+        vds = BraTSDataset(
+            list_file=(a.root and _os.path.join(a.root, "valid.txt")),
+            root=a.root, mode="valid", cfg=cfg.data)
+        predictor = Predictor(trainer.model, None)
+
+        def eval_fn(tr, epoch):
+            predictor.update_params(tr.state.params)
+            out = validate_softmax(
+                PrefetchLoader(vds, batch_size=1, shuffle=False,
+                               num_workers=2),
+                predictor, strategy="single", use_hd95=False)
+            log.info("eval@%d: WT %.4f TC %.4f ET %.4f", epoch,
+                     out["wt"], out["tc"], out["et"])
+
+    trainer.fit(eval_fn)
 
 
 if __name__ == "__main__":
