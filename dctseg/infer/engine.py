@@ -27,7 +27,6 @@ a 5-slice misalignment.  ``stitch_mode='reference'`` reproduces it;
 from __future__ import annotations
 
 import functools
-import itertools
 from typing import Callable, List, Optional, Sequence
 
 import jax

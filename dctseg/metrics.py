@@ -14,7 +14,7 @@ the reference's ConfusionMatrix guard does (utils/hausdorff.py:9-99).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

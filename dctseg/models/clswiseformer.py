@@ -28,7 +28,7 @@ Dataflow (reference line refs inline):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax

@@ -10,8 +10,6 @@ padding so stride-2 downsampling samples the same grid positions as
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -16,8 +16,6 @@ cls_wise_former.py:691-754).  Norms are InstanceNorm3d-equivalent.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,7 @@ import optax
 
 from dctseg.config import Config
 from dctseg.data.brats import BraTSDataset
-from dctseg.data.pipeline import Batch, PrefetchLoader
+from dctseg.data.pipeline import PrefetchLoader
 from dctseg.losses import CRITERIA, total_loss
 from dctseg.models.clswiseformer import ClsWiseFormer, build_model
 from dctseg.parallel.mesh import (batch_sharding, make_mesh, replicated,

@@ -13,7 +13,6 @@ import contextlib
 from typing import Callable, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 
 def count_params(params) -> int:
