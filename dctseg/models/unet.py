@@ -152,3 +152,29 @@ class Decoder(nn.Module):
         y = Conv3d(self.num_classes, kernel_size=1, padding=0,
                    dtype=self.dtype, name="endconv")(y2)
         return nn.softmax(y.astype(jnp.float32), axis=-1)
+
+
+class PlainUnet(nn.Module):
+    """Standalone UNet encoder+decoder without the decouple/couple stages.
+
+    The reference ships its UNet as a separately profileable model
+    (Unet_skipconnection.py:147-161 builds and profiles it standalone); this
+    is the segmentation-capable equivalent — encoder straight into the
+    decoder — useful as an ablation baseline for the coupler machinery.
+    """
+    base_channels: int = 16
+    num_classes: int = 4
+    init_dropout: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = x.astype(self.dtype)
+        enc = UnetEncoder(base_channels=self.base_channels,
+                          init_dropout=self.init_dropout, dtype=self.dtype,
+                          remat=self.remat, name="unet")
+        x1_1, x2_1, x3_1, bottleneck = enc(x, train=train)
+        dec = Decoder(self.base_channels * 16, self.num_classes,
+                      dtype=self.dtype, remat=self.remat, name="decoder")
+        return dec(x1_1, x2_1, x3_1, bottleneck)

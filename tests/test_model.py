@@ -90,3 +90,14 @@ def test_jit_and_dropout_determinism(tiny):
     t1 = model.apply(params, x, train=True, rngs={"dropout": r})[0]
     t2 = model.apply(params, x, train=True, rngs={"dropout": r})[0]
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_plain_unet_model_family():
+    from dctseg.models.unet import PlainUnet
+    m = PlainUnet(base_channels=4, init_dropout=0.0, remat=False)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 32, 32, 32, 4))
+    params = m.init({"params": key, "dropout": key}, x, train=False)
+    y = m.apply(params, x, train=False)
+    assert y.shape == (1, 32, 32, 32, 4)
+    np.testing.assert_allclose(np.asarray(y.sum(-1)), 1.0, atol=1e-4)
