@@ -35,11 +35,15 @@ class Checkpointer:
 
     def save(self, epoch: int, params: Any, opt_state: Any,
              step: int) -> None:
-        self._mngr.save(epoch, args=ocp.args.Composite(
+        items = dict(
             params=ocp.args.StandardSave(params),
-            opt_state=ocp.args.StandardSave(opt_state),
             meta=ocp.args.JsonSave({"epoch": epoch, "step": step}),
-        ))
+        )
+        # converted reference checkpoints are params-only (orbax rejects
+        # empty pytrees)
+        if opt_state:
+            items["opt_state"] = ocp.args.StandardSave(opt_state)
+        self._mngr.save(epoch, args=ocp.args.Composite(**items))
 
     def wait(self) -> None:
         self._mngr.wait_until_finished()
