@@ -141,3 +141,20 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     tr3.init_state()
     start = tr3.resume(restore_opt=True)
     assert start == 1
+
+
+def test_train_cli_build_config():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import importlib
+    train_mod = importlib.import_module("train")
+    a = train_mod.parse_args(["--amp", "--end-epoch", "7", "--img-dim", "32",
+                              "--lr", "3e-4"])
+    cfg = train_mod.build_config(a)
+    assert cfg.model.compute_dtype == "bfloat16"
+    assert cfg.model.top_num == 8          # derived for img_dim 32
+    assert cfg.train.amp_lr_restart_epoch == 249
+    assert cfg.train.end_epoch == 7 and cfg.train.lr == 3e-4
+    a2 = train_mod.parse_args(["--amp", "--no-amp-lr-quirk"])
+    assert train_mod.build_config(a2).train.amp_lr_restart_epoch is None
