@@ -75,7 +75,6 @@ class PrefetchLoader:
         batches = [indices[i:i + self.batch_size]
                    for i in range(0, len(indices), self.batch_size)]
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         job_q: "queue.Queue" = queue.Queue()
         results = {}
         results_lock = threading.Lock()

@@ -68,8 +68,10 @@ def validate_softmax(
             probs = ensemble_probs(run, predictor, param_sets)
         else:
             probs = run()
-        probs = np.asarray(probs)
-        output = probs.argmax(-1)[0]                       # (H, W, D)
+        # argmax on device: transfers a uint8 label volume instead of the
+        # float32 probability tensor (8x smaller; the host here is slow)
+        output = np.asarray(jnp.argmax(probs, axis=-1).astype(jnp.uint8))[0]
+        output = output.astype(np.int32)
         runtimes.append(time.time() - t0)
 
         target = batch.target[0]

@@ -48,6 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--pallas-attention", action="store_true")
     p.add_argument("--random-params", action="store_true",
                    help="skip checkpoint loading (smoke runs)")
+    p.add_argument("--num-samples", type=int, default=None,
+                   help="synthetic dataset size (no --root only)")
     return p.parse_args(argv)
 
 
@@ -78,7 +80,9 @@ def main(argv=None):
     model = build_model(mcfg)
 
     dcfg = DataConfig(root=a.root, valid_file=a.valid_file,
-                      drop_modal=a.drop_modal)
+                      drop_modal=a.drop_modal,
+                      **({} if a.num_samples is None
+                         else {"synthetic_num_samples": a.num_samples}))
     mode = "full" if a.strategy in ("tiling", "tiling_tta") else "valid"
     ds = BraTSDataset(
         list_file=(a.root and os.path.join(a.root, a.valid_file)),
