@@ -90,25 +90,32 @@ class PrefetchLoader:
                     bi, idxs = job_q.get_nowait()
                 except queue.Empty:
                     return
-                samples = [self.dataset.get(
-                    i, rng if self.dataset.mode == "train" else None)
-                    for i in idxs]
+                try:
+                    samples = [self.dataset.get(
+                        i, rng if self.dataset.mode == "train" else None)
+                        for i in idxs]
+                    result = Batch(samples)
+                except BaseException as e:  # propagate to the consumer
+                    result = e
                 with results_lock:
-                    results[bi] = Batch(samples)
+                    results[bi] = result
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(min(self.num_workers, len(batches)))]
         for t in threads:
             t.start()
 
-        # emit in order
+        # emit in order; worker exceptions re-raise here instead of hanging
         import time
         for bi in range(len(batches)):
             while True:
                 with results_lock:
                     if bi in results:
-                        yield results.pop(bi)
+                        item = results.pop(bi)
                         break
                 time.sleep(0.002)
+            if isinstance(item, BaseException):
+                raise item
+            yield item
         for t in threads:
             t.join()

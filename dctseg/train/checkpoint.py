@@ -51,6 +51,9 @@ class Checkpointer:
     def latest_epoch(self) -> Optional[int]:
         return self._mngr.latest_step()
 
+    def all_epochs(self):
+        return sorted(self._mngr.all_steps())
+
     def restore_params(self, epoch: int, abstract_params: Any) -> Any:
         out = self._mngr.restore(epoch, args=ocp.args.Composite(
             params=ocp.args.StandardRestore(abstract_params)))

@@ -122,7 +122,7 @@ def main(argv=None):
         abstract = jax.tree.map(ocp_abstract, params)
         csv_path = os.path.join(a.output_dir, "save_pth.csv")
         results = {}
-        for epoch in sorted(ckpt._mngr.all_steps()):
+        for epoch in ckpt.all_epochs():
             predictor.update_params(ckpt.restore_params(epoch, abstract))
             out = validate_softmax(make_loader(), predictor, "tta",
                                    use_hd95=not a.no_hd95)
@@ -136,7 +136,7 @@ def main(argv=None):
     param_sets = None
     if a.multimodel and ckpt is not None:
         abstract = jax.tree.map(ocp_abstract, params)
-        steps = sorted(ckpt._mngr.all_steps())[-4:]
+        steps = ckpt.all_epochs()[-4:]
         param_sets = [ckpt.restore_params(e, abstract) for e in steps]
         log.info("ensembling %d checkpoints: %s", len(param_sets), steps)
 

@@ -166,3 +166,17 @@ def test_augmentation_flags():
     # edge map consistent with (possibly flipped) target
     from dctseg.data.edge import _make_edge_map_scipy
     np.testing.assert_array_equal(a.edge, _make_edge_map_scipy(a.target))
+
+
+def test_prefetch_loader_propagates_worker_errors():
+    cfg = DataConfig(synthetic_num_samples=2, input_shape=(48, 48, 40),
+                     pad_depth=40, crop_size=(32, 32, 32))
+    ds = BraTSDataset(mode="valid", cfg=cfg)
+
+    class Boom(BraTSDataset):
+        def get(self, idx, rng=None):
+            raise RuntimeError("decode failed")
+    boom = Boom(mode="valid", cfg=cfg)
+    loader = PrefetchLoader(boom, batch_size=1, shuffle=False, num_workers=1)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader)
