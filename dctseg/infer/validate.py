@@ -47,31 +47,51 @@ def validate_softmax(
     h_wt, h_tc, h_et = [], [], []
     m_wt, m_tc, m_et = [], [], []
     runtimes = []
+    n_total = len(loader)
 
-    for i, batch in enumerate(loader):
+    def run(x):
+        if strategy == "tta":
+            return predictor.tta_probs(x)
+        if strategy == "single":
+            return predictor.seg_probs(x)
+        if strategy == "tiling":
+            return predictor.tiled_probs(x, stitch_mode)
+        if strategy == "tiling_tta":
+            return predictor.tiled_tta_probs(x, stitch_mode)
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    def predict(batch):
+        """Dispatch prediction; returns an async device array of labels.
+        argmax on device transfers a uint8 volume instead of the float32
+        probability tensor (8x smaller; the host here is slow)."""
         x = jnp.asarray(batch.x)
-        name = batch.names[0]
-        t0 = time.time()
-
-        def run():
-            if strategy == "tta":
-                return predictor.tta_probs(x)
-            if strategy == "single":
-                return predictor.seg_probs(x)
-            if strategy == "tiling":
-                return predictor.tiled_probs(x, stitch_mode)
-            if strategy == "tiling_tta":
-                return predictor.tiled_tta_probs(x, stitch_mode)
-            raise ValueError(f"unknown strategy {strategy!r}")
-
         if param_sets:
-            probs = ensemble_probs(run, predictor, param_sets)
+            probs = ensemble_probs(lambda: run(x), predictor, param_sets)
         else:
-            probs = run()
-        # argmax on device: transfers a uint8 label volume instead of the
-        # float32 probability tensor (8x smaller; the host here is slow)
-        output = np.asarray(jnp.argmax(probs, axis=-1).astype(jnp.uint8))[0]
-        output = output.astype(np.int32)
+            probs = run(x)
+        return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+
+    def stream():
+        """One-volume pipeline: volume i+1 computes on device while the
+        host evaluates metrics for volume i (jax dispatch is async).
+        Ensembling swaps parameters between volumes, so it stays
+        sequential."""
+        pipelined = not param_sets
+        pending = None
+        for batch in loader:
+            t0 = time.time()
+            out_dev = predict(batch)
+            if not pipelined:
+                out_dev = np.asarray(out_dev)
+            if pending is not None:
+                yield pending
+            pending = (batch, out_dev, t0)
+        if pending is not None:
+            yield pending
+
+    for i, (batch, out_dev, t0) in enumerate(stream()):
+        name = batch.names[0]
+        output = np.asarray(out_dev)[0].astype(np.int32)
         runtimes.append(time.time() - t0)
 
         target = batch.target[0]
@@ -94,7 +114,7 @@ def validate_softmax(
 
         counts = [int((output == c).sum()) for c in range(4)]
         logger.info("name:%s, Subject %d/%d, DICE= WT:%.4f,TC:%.4f,ET:%.4f",
-                    name, i + 1, len(loader), *soft)
+                    name, i + 1, n_total, *soft)
         logger.info("name:%s, MIOU= WT:%.4f,TC:%.4f,ET:%.4f", name, *miou)
         logger.info("name:%s, HAUSDORFF= WT:%.4f,TC:%.4f,ET:%.4f",
                     name, *haus)

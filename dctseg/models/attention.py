@@ -41,11 +41,13 @@ class DualSelfAttention(nn.Module):
         kv = qkv(x2).reshape(b, n2, 3, h, d)
         k, v = kv[:, :, 1], kv[:, :, 2]                   # (B, N2, H, D)
 
-        if self.use_pallas and not train:
+        # the pallas kernel is differentiable (custom VJP) but has no
+        # attention-dropout inside; use it whenever dropout is inactive
+        if self.use_pallas and (not train or self.dropout_rate == 0.0):
             from dctseg.ops.pallas.attention import fused_attention
             out = fused_attention(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), scale=d ** -0.5)
+                v.transpose(0, 2, 1, 3), d ** -0.5)
             out = out.transpose(0, 2, 1, 3)
         else:
             scale = d ** -0.5

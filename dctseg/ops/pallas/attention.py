@@ -44,9 +44,44 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _einsum_attention(q, k, v, scale):
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float, interpret: bool = False) -> jnp.ndarray:
-    """q: (B, H, N, D); k, v: (B, H, N2, D) -> (B, H, N, D)."""
+    """q: (B, H, N, D); k, v: (B, H, N2, D) -> (B, H, N, D).
+
+    Differentiable: forward runs the fused Pallas kernel; the backward pass
+    recomputes attention through the einsum formulation and uses its VJP
+    (the sequences are tiny — N <= 258 — so recompute is cheaper than
+    saving the score matrix)."""
+    return _fused_attention_impl(q, k, v, scale, interpret)
+
+
+def _fused_attention_fwd(q, k, v, scale, interpret):
+    return _fused_attention_impl(q, k, v, scale, interpret), (q, k, v)
+
+
+def _fused_attention_bwd(scale, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _einsum_attention(q, k, v, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+def _fused_attention_impl(q, k, v, scale, interpret=False):
     b, h, n, d = q.shape
     n2 = k.shape[2]
     qf = q.reshape(b * h, n, d)
