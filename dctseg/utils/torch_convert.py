@@ -170,6 +170,112 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray]) -> dict:
     return out
 
 
+def _inv_conv(w):
+    return np.transpose(w, (4, 3, 0, 1, 2))
+
+
+def _inv_deconv(w):
+    return np.transpose(w, (3, 4, 0, 1, 2))[:, :, ::-1, ::-1, ::-1].copy()
+
+
+def _pe_buffer(max_len: int = 1024, dim: int = 512) -> np.ndarray:
+    """The reference's ExtendFixedPositionalEncoding buffer
+    (PositionalEncoding.py:5-19): (max_len, 1, dim) sinusoid table."""
+    from dctseg.models.positional import sinusoid_table
+    return sinusoid_table(max_len, dim)[:, None, :]
+
+
+def to_torch_state_dict(params: dict,
+                        reference_names=None) -> Dict[str, np.ndarray]:
+    """Inverse conversion: flax params tree -> reference-format state_dict
+    (numpy values), including the constant positional-encoding buffers the
+    reference registers.  Round-trips exactly with convert_state_dict."""
+    tree = params.get("params", params)
+    names = reference_names or reference_state_dict_names()
+    out: Dict[str, np.ndarray] = {}
+    for name in names:
+        if name.endswith("position_encoding.pe") or \
+                name == "fusion_label_pos.pe":
+            out[name] = _pe_buffer()
+            continue
+        path, tr = _map_name(name)
+        node = tree
+        for p in path:
+            node = node[p]
+        w = np.asarray(node)
+        if tr is _dense:
+            w = _dense(w)
+        elif tr is _conv:
+            w = _inv_conv(w)
+        elif tr is _deconv:
+            w = _inv_deconv(w)
+        out[name] = np.ascontiguousarray(w, np.float32)
+    return out
+
+
+def reference_state_dict_names():
+    """All 222 reference state_dict keys plus the 4 PE buffers, synthesized
+    from the architecture definition (cls_wise_former.py)."""
+    names = []
+    for r in ("01", "02", "04"):
+        names += [f"e_token_{r}", f"s_token_{r}",
+                  f"label_{r}_position_encoding.pe"]
+    names.append("fusion_label_pos.pe")
+    for t in ("transformer_01", "transformer_02", "transformer_04",
+              "fusion_transformer_1_2_4"):
+        a = f"{t}.cross_attention_list.0.fn"
+        names += [f"{a}.norm.weight", f"{a}.norm.bias",
+                  f"{a}.norm2.weight", f"{a}.norm2.bias",
+                  f"{a}.fn.qkv.weight", f"{a}.fn.out_proj.weight",
+                  f"{a}.fn.out_proj.bias"]
+        f_ = f"{t}.cross_ffn_list.0.fn"
+        names += [f"{f_}.norm.weight", f"{f_}.norm.bias",
+                  f"{f_}.fn.net.0.weight", f"{f_}.fn.net.0.bias",
+                  f"{f_}.fn.net.3.weight", f"{f_}.fn.net.3.bias"]
+
+    def conv(n):
+        names.extend([f"{n}.weight", f"{n}.bias"])
+
+    conv("Unet_list.InitConv.conv")
+    for blk in ("EnBlock1", "EnBlock1_1", "EnBlock2_1", "EnBlock2_2",
+                "EnBlock3_1", "EnBlock3_2", "EnBlock4_1", "EnBlock4_2"):
+        conv(f"Unet_list.{blk}.conv1")
+        conv(f"Unet_list.{blk}.conv2")
+    for d in ("EnDown1", "EnDown2", "EnDown3", "EnDown_4"):
+        conv(f"Unet_list.{d}.conv")
+    for i in (1, 2, 4):
+        conv(f"conv_semantic_{i}")
+        conv(f"conv_mid_fea_{i}")
+    conv("conv_64_to_32")
+    conv("sum_fusion")
+    conv("decoder.down_channel")
+    for blk in ("Enblock8_1", "Enblock8_2", "DeBlock4", "DeBlock4_1",
+                "DeBlock3", "DeBlock3_1", "DeBlock2", "DeBlock2_1"):
+        conv(f"decoder.{blk}.conv1")
+        conv(f"decoder.{blk}.conv2")
+    for up in ("DeUp4", "DeUp3", "DeUp2"):
+        for c in ("conv1", "conv2", "conv3"):
+            conv(f"decoder.{up}.{c}")
+    conv("decoder.endconv")
+    for head in ("supervise_label", "mid_supervise_label"):
+        for i in (1, 2, 4):
+            conv(f"{head}.supervise_label_{i}")
+            conv(f"{head}.down_label_{i}")
+    for head in ("edge_supervise_label", "mid_edge_supervise_label"):
+        for i in (1, 2, 4):
+            conv(f"{head}.edge_supervise_label_{i}")
+            conv(f"{head}.edge_down_label_{i}")
+    return names
+
+
+def save_torch_checkpoint(params: dict, path: str, epoch: int = 0) -> None:
+    """Export a dctseg params tree as a reference-format .pth."""
+    import torch
+    sd = {k: torch.from_numpy(v)
+          for k, v in to_torch_state_dict(params).items()}
+    torch.save({"epoch": epoch, "state_dict": sd, "optim_dict": {}}, path)
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a reference .pth checkpoint into a flax params tree
     ({'params': ...} ready for model.apply)."""
