@@ -82,10 +82,14 @@ def _surface_distances(test: np.ndarray, reference: np.ndarray,
 def hausdorff_distance_95(test, reference, voxel_spacing=None,
                           connectivity: int = 1,
                           nan_for_nonexisting: bool = False) -> float:
-    """Symmetric 95th-percentile Hausdorff distance.
+    """Symmetric 95th-percentile Hausdorff distance, medpy-exact.
 
-    Matches utils/hausdorff.py:106-123: degenerate inputs (either mask empty
-    or full) return 0 (or NaN when requested) instead of raising.
+    Matches utils/hausdorff.py:106-123 (wrapping medpy.metric.hd95): both
+    directed surface-distance sets are POOLED and a single 95th percentile is
+    taken — not the max of per-direction percentiles, which differs whenever
+    the two directed distributions are asymmetric (every real segmentation
+    error).  Degenerate inputs (either mask empty or full) return 0 (or NaN
+    when requested) instead of raising, per the ConfusionMatrix guard.
     """
     test = np.asarray(test).astype(bool)
     reference = np.asarray(reference).astype(bool)
@@ -95,7 +99,7 @@ def hausdorff_distance_95(test, reference, voxel_spacing=None,
         return float("nan") if nan_for_nonexisting else 0.0
     d1 = _surface_distances(test, reference, voxel_spacing, connectivity)
     d2 = _surface_distances(reference, test, voxel_spacing, connectivity)
-    return float(max(np.percentile(d1, 95), np.percentile(d2, 95)))
+    return float(np.percentile(np.hstack((d1, d2)), 95))
 
 
 def hausdorff_distance(test, reference, voxel_spacing=None,

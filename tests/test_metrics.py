@@ -37,6 +37,25 @@ def test_hd95_translated_cube():
     assert 3.0 <= d <= 4.01, d
 
 
+def test_hd95_pooled_percentile_medpy_semantics():
+    """medpy.metric.hd95 (which utils/hausdorff.py:106 wraps) pools BOTH
+    directed distance sets before taking one 95th percentile.  On an
+    asymmetric error — prediction = ground truth plus a distant false-positive
+    blob — this differs from max(percentile(d1), percentile(d2)): d2 is all
+    zeros and dilutes the pooled percentile."""
+    ref = np.zeros((32, 32, 32), bool)
+    ref[4:14, 4:14, 4:14] = True
+    test = ref.copy()
+    test[24:28, 24:28, 24:28] = True  # distant FP blob
+    d1 = metrics._surface_distances(test, ref)
+    d2 = metrics._surface_distances(ref, test)
+    pooled = float(np.percentile(np.hstack((d1, d2)), 95))
+    per_dir = float(max(np.percentile(d1, 95), np.percentile(d2, 95)))
+    assert pooled != per_dir  # the case VERDICT r1 flagged as untested
+    np.testing.assert_allclose(
+        metrics.hausdorff_distance_95(test, ref), pooled, rtol=1e-9)
+
+
 def test_hd95_identical_is_zero():
     a = np.zeros((10, 10, 10), bool)
     a[3:7, 3:7, 3:7] = True
