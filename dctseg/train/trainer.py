@@ -14,6 +14,7 @@ fp32's exponent range so no GradScaler is needed (SURVEY.md §2.9b).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
@@ -125,27 +126,49 @@ class Trainer:
         return self.state
 
     def resume(self, epoch: Optional[int] = None,
-               restore_opt: bool = False) -> int:
+               restore_opt: bool = False,
+               from_dir: Optional[str] = None) -> int:
         """Restore params (reference quirk: optimizer state NOT restored by
-        default, train.py:146-157).  Returns the epoch to continue from."""
+        default, train.py:146-157).  Returns the epoch to continue from.
+
+        ``from_dir`` restores from a different checkpoint directory than the
+        one this trainer saves to (the reference's ``--load_dir`` capability,
+        train.py:146-157); new checkpoints still go to ``checkpoint_dir``.
+
+        On a params-only resume the optimizer state is fresh, but the LR must
+        correspond to ``start_epoch`` (the reference computes LR from the
+        actual epoch variable, train.py:184,272-275) — so the poly-schedule
+        count and ``state.step`` are seeded with start_epoch*steps_per_epoch.
+        Adam moments/bias-correction stay fresh, matching the reference's
+        un-restored optimizer.
+        """
         if self.state is None:
             self.init_state()
-        epoch = epoch if epoch is not None else self.ckpt.latest_epoch()
+        src = self.ckpt
+        if from_dir and os.path.abspath(from_dir) != self.ckpt.directory:
+            src = Checkpointer(from_dir)
+        epoch = epoch if epoch is not None else src.latest_epoch()
         if epoch is None:
             logger.info("re-training!!!")
             return self.cfg.train.start_epoch
         abstract = jax.tree.map(ocp_abstract, self.state.params)
         if restore_opt:
-            params, opt_state, meta = self.ckpt.restore_full(
+            params, opt_state, meta = src.restore_full(
                 epoch, abstract, jax.tree.map(ocp_abstract,
                                               self.state.opt_state))
             self.state = TrainState(params, opt_state, self.state.step)
             logger.info("restored full state from epoch %s", epoch)
             return int(meta["epoch"]) + 1
-        params = self.ckpt.restore_params(epoch, abstract)
-        self.state = self.state._replace(params=params)
-        logger.info("restored params from epoch %s", epoch)
-        return self.cfg.train.start_epoch
+        params = src.restore_params(epoch, abstract)
+        start = self.cfg.train.start_epoch
+        offset = start * self.steps_per_epoch
+        self.state = TrainState(
+            params,
+            _seed_schedule_count(self.state.opt_state, offset),
+            jnp.asarray(offset, jnp.int32))
+        logger.info("restored params from epoch %s (dir=%s), LR seeded at "
+                    "epoch %d", epoch, src.directory, start)
+        return start
 
     # ---- the loop ----
 
@@ -194,7 +217,12 @@ class Trainer:
         cfg = self.cfg.train
         if self.state is None:
             if cfg.resume:
-                start = self.resume()
+                # cfg.resume is a checkpoint DIRECTORY (scripts/train.py
+                # --resume <dir>), not a bool — restore from it while saving
+                # new checkpoints to checkpoint_dir (train.py:146-157)
+                start = self.resume(
+                    from_dir=cfg.resume if isinstance(cfg.resume, str)
+                    else None)
             else:
                 self.init_state()
                 start = cfg.start_epoch
@@ -223,3 +251,13 @@ class Trainer:
 
 def ocp_abstract(x):
     return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+
+
+def _seed_schedule_count(opt_state, count: int):
+    """Replace every ScaleByScheduleState count in an optax.chain state."""
+    def fix(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(count, s.count.dtype))
+        return s
+    return tuple(fix(s) for s in opt_state)

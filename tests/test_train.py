@@ -67,7 +67,8 @@ def test_should_save_matches_reference_predicate():
     assert 0 not in saves and 995 not in saves
 
 
-def _tiny_trainer(tmp_path, end_epoch=1, num_devices=1, samples=2):
+def _tiny_trainer(tmp_path, end_epoch=1, num_devices=1, samples=2,
+                  **train_kw):
     cfg = Config(
         model=tiny_model_config(img_dim=16, top_num=2),
         data=DataConfig(synthetic_num_samples=samples,
@@ -75,7 +76,7 @@ def _tiny_trainer(tmp_path, end_epoch=1, num_devices=1, samples=2):
                         crop_size=(16, 16, 16), num_workers=2),
         train=TrainConfig(end_epoch=end_epoch, save_freq=1000,
                           checkpoint_dir=str(tmp_path / "ckpt"),
-                          num_devices=num_devices, lr=1e-3),
+                          num_devices=num_devices, lr=1e-3, **train_kw),
     )
     return Trainer(cfg)
 
@@ -141,6 +142,41 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     tr3.init_state()
     start = tr3.resume(restore_opt=True)
     assert start == 1
+
+
+def test_resume_from_other_dir_seeds_lr_schedule(tmp_path):
+    """--resume <dir> must restore from THAT directory (reference --load
+    capability, train.py:146-157) while saving to checkpoint_dir, and a
+    params-only resume at start_epoch>0 must run at the poly LR of that
+    epoch, not restart from epoch 0 (ADVICE r1)."""
+    import optax
+
+    tr = _tiny_trainer(tmp_path / "a", end_epoch=20)
+    tr.init_state()
+    tr.train_epoch(0)
+    tr.ckpt.save(0, tr.state.params, tr.state.opt_state, 5)
+    tr.ckpt.wait()
+
+    tr2 = _tiny_trainer(tmp_path / "b", end_epoch=20, start_epoch=10,
+                        resume=str(tmp_path / "a" / "ckpt"))
+    tr2.init_state()
+    start = tr2.resume(from_dir=tr2.cfg.train.resume)
+    assert start == 10
+    # params came from dir a
+    for x, y in zip(jax.tree.leaves(tr.state.params),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # new checkpoints still go to dir b
+    assert tr2.ckpt.directory.startswith(str(tmp_path / "b"))
+    # LR schedule seeded at start_epoch; Adam moments stay fresh
+    offset = 10 * tr2.steps_per_epoch
+    assert int(tr2.state.step) == offset
+    sched_counts = [int(s.count) for s in tr2.state.opt_state
+                    if isinstance(s, optax.ScaleByScheduleState)]
+    assert sched_counts == [offset]
+    adam_counts = [int(s["count"]) for s in tr2.state.opt_state
+                   if isinstance(s, dict) and "count" in s]
+    assert adam_counts == [0]
 
 
 def test_train_cli_build_config():
