@@ -41,6 +41,9 @@ class Sample:
     missing_modal: np.ndarray     # (M,) int8 presence mask
     name: str = ""
     path: str = ""
+    affine: Optional[np.ndarray] = None  # 4x4 voxel->world of the source
+    # volume; exported submissions must carry it (the reference keeps
+    # nibabel's affine, predict.py:318-328)
 
 
 def zscore_nonzero(img: np.ndarray) -> np.ndarray:
@@ -99,28 +102,31 @@ class BraTSDataset:
 
     def _load_raw(self, idx: int):
         """Returns (channels: list of (H, W, D) float32 arrays, label raw
-        {0,1,2,4}, path).  Channels stay separate (no stack) so the crop
-        path never materializes the full 4-modality volume — this host's
-        memory bandwidth is the loader bottleneck."""
+        {0,1,2,4}, path, affine).  Channels stay separate (no stack) so the
+        crop path never materializes the full 4-modality volume — this
+        host's memory bandwidth is the loader bottleneck."""
         name = self.names[idx]
         if self.synthetic:
             chans, label = synthetic.make_volume_channels(
                 idx, self.cfg.input_shape, len(self.cfg.modalities))
-            return list(chans), label, ""
+            return list(chans), label, "", np.eye(4, dtype=np.float32)
         case_dir = os.path.join(self.root, name)
-        chans = []
+        chans, affine = [], None
         for mod in self.cfg.modalities:
             p = os.path.join(case_dir, f"{name}_{mod}.nii.gz")
             if not os.path.exists(p):
                 p = p[:-3]  # allow uncompressed .nii
-            chans.append(np.asarray(nifti.load(p).data, np.float32))
+            img = nifti.load(p)
+            if affine is None:
+                affine = img.affine
+            chans.append(np.asarray(img.data, np.float32))
         seg_p = os.path.join(case_dir, f"{name}_seg.nii.gz")
         if not os.path.exists(seg_p):
             seg_p = seg_p[:-3]
         label = (np.asarray(nifti.load(seg_p).data, np.uint8)
                  if os.path.exists(seg_p) else
                  np.zeros(chans[0].shape, np.uint8))
-        return chans, label, case_dir + os.sep
+        return chans, label, case_dir + os.sep, affine
 
     # ---- assembly ----
 
@@ -153,7 +159,7 @@ class BraTSDataset:
             ) -> Sample:
         from dctseg.native import nonzero_stats, normalize_inplace
 
-        chans, label, path = self._load_raw(idx)
+        chans, label, path, affine = self._load_raw(idx)
         present = self._missing_modal(rng)
 
         if self.mode == "full":
@@ -170,7 +176,7 @@ class BraTSDataset:
             img, _ = self._pad_depth(img, target)
             return Sample(x=img, target=target, edge=None,
                           missing_modal=present, name=self.names[idx],
-                          path=path)
+                          path=path, affine=affine)
 
         # crop path: z-score statistics come from the FULL volume (standard
         # BraTS recipe) but normalization is applied to the crop only —
@@ -216,7 +222,7 @@ class BraTSDataset:
 
         edge = make_edge_map(target).astype(np.int32)
         return Sample(x=x, target=target, edge=edge, missing_modal=present,
-                      name=self.names[idx], path=path)
+                      name=self.names[idx], path=path, affine=affine)
 
     def __getitem__(self, idx: int) -> Sample:
         rng = self._rng if self.mode == "train" else None

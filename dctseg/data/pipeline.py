@@ -32,6 +32,7 @@ class Batch:
         self.missing_modal = np.stack([s.missing_modal for s in samples])
         self.names = [s.name for s in samples]
         self.paths = [s.path for s in samples]
+        self.affines = [s.affine for s in samples]
 
 
 def shard_indices(n: int, epoch: int, seed: int, shard: int,
@@ -77,7 +78,16 @@ class PrefetchLoader:
 
         job_q: "queue.Queue" = queue.Queue()
         results = {}
-        results_lock = threading.Lock()
+        cond = threading.Condition()
+        stop = threading.Event()
+        nthreads = min(self.num_workers, len(batches))
+        # Bound in-flight batches: a permit covers one batch from decode
+        # start until the consumer takes it, so workers can run at most
+        # prefetch*nthreads batches ahead — real samples are ~50 MB, an
+        # unbounded dict would OOM this low-memory host (ADVICE r1).
+        # Acquiring BEFORE pulling a job keeps FIFO progress deadlock-free:
+        # the smallest outstanding batch is always held by a permit owner.
+        sem = threading.Semaphore(max(1, self.prefetch) * nthreads)
 
         for bi, b in enumerate(batches):
             job_q.put((bi, b))
@@ -85,10 +95,14 @@ class PrefetchLoader:
         def worker(worker_id: int):
             rng = np.random.default_rng(
                 (self.seed, self.epoch, self.shard, worker_id))
-            while True:
+            while not stop.is_set():
+                while not sem.acquire(timeout=0.5):
+                    if stop.is_set():
+                        return
                 try:
                     bi, idxs = job_q.get_nowait()
                 except queue.Empty:
+                    sem.release()
                     return
                 try:
                     samples = [self.dataset.get(
@@ -97,25 +111,27 @@ class PrefetchLoader:
                     result = Batch(samples)
                 except BaseException as e:  # propagate to the consumer
                     result = e
-                with results_lock:
+                with cond:
                     results[bi] = result
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
-                   for w in range(min(self.num_workers, len(batches)))]
+                   for w in range(nthreads)]
         for t in threads:
             t.start()
 
         # emit in order; worker exceptions re-raise here instead of hanging
-        import time
-        for bi in range(len(batches)):
-            while True:
-                with results_lock:
-                    if bi in results:
-                        item = results.pop(bi)
-                        break
-                time.sleep(0.002)
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        for t in threads:
-            t.join()
+        try:
+            for bi in range(len(batches)):
+                with cond:
+                    while bi not in results:
+                        cond.wait()
+                    item = results.pop(bi)
+                sem.release()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            for t in threads:
+                t.join()
+        finally:
+            stop.set()  # unblock workers if the consumer bails early

@@ -84,11 +84,17 @@ def _make_volume_impl(seed, shape, num_modalities):
 def write_fake_dataset(root: str, num_train: int = 2, num_valid: int = 1,
                        shape: Tuple[int, int, int] = (240, 240, 155),
                        modalities=("flair", "t1", "t1ce", "t2"),
-                       seed: int = 0) -> None:
+                       seed: int = 0, affine: np.ndarray = None) -> None:
     """Materialize a BraTS2018-layout dataset:
-    root/<case>/<case>_<modality>.nii.gz + _seg.nii.gz, plus list files."""
+    root/<case>/<case>_<modality>.nii.gz + _seg.nii.gz, plus list files.
+
+    Default affine matches the BraTS SRI24 atlas orientation (LPS-flipped
+    RAS, 1mm isotropic) so affine propagation is exercised non-trivially."""
     from dctseg.data import nifti
 
+    if affine is None:
+        affine = np.array([[-1., 0., 0., 0.], [0., -1., 0., 239.],
+                           [0., 0., 1., 0.], [0., 0., 0., 1.]], np.float32)
     names = [f"SYN_{seed}_{i:03d}" for i in range(num_train + num_valid)]
     for i, name in enumerate(names):
         case_dir = os.path.join(root, name)
@@ -97,8 +103,10 @@ def write_fake_dataset(root: str, num_train: int = 2, num_valid: int = 1,
                                             len(modalities))
         for m, mod in enumerate(modalities):
             nifti.save(chans[m],
-                       os.path.join(case_dir, f"{name}_{mod}.nii.gz"))
-        nifti.save(label, os.path.join(case_dir, f"{name}_seg.nii.gz"))
+                       os.path.join(case_dir, f"{name}_{mod}.nii.gz"),
+                       affine=affine)
+        nifti.save(label, os.path.join(case_dir, f"{name}_seg.nii.gz"),
+                   affine=affine)
     with open(os.path.join(root, "train.txt"), "w") as f:
         f.write("\n".join(names[:num_train]) + "\n")
     with open(os.path.join(root, "valid.txt"), "w") as f:

@@ -47,6 +47,7 @@ def validate_softmax(
     h_wt, h_tc, h_et = [], [], []
     m_wt, m_tc, m_et = [], [], []
     runtimes = []
+    summary_rows = []  # per-volume rows (predict_simple.py:147-183)
     n_total = len(loader)
 
     def run(x):
@@ -123,12 +124,27 @@ def validate_softmax(
 
         if csv_export and visual:
             export.export_per_slice_csv(visual, name, output, target)
+            # per-volume summary row (predict_simple.py:398-401 item_sum:
+            # dice product + predicted/GT voxel counts per raw label 1/2/4)
+            summary_rows.append({
+                "name": name, "wt": soft[0], "tc": soft[1], "et": soft[2],
+                "sum": soft[0] * soft[1] * soft[2],
+                "pre_1": counts[1], "pre_2": counts[2], "pre_4": counts[3],
+                "gt_1": int((target == 1).sum()),
+                "gt_2": int((target == 2).sum()),
+                "gt_4": int((target == 3).sum())})
         if snapshot and visual:
             export.export_png_slices(visual, name, output, target)
         if save_nifti and savepath:
+            # carry the source affine so submissions have valid world
+            # coordinates (reference keeps nibabel's, predict.py:318-328)
             export.export_nifti_segmentation(
-                os.path.join(savepath, f"{name}.nii.gz"), output)
+                os.path.join(savepath, f"{name}.nii.gz"), output,
+                affine=getattr(batch, "affines", [None])[0])
 
+    if summary_rows:
+        export.export_volume_summary_csv(
+            os.path.join(visual, "sum.csv"), summary_rows)
     out = {
         "wt": float(np.mean(wt)), "tc": float(np.mean(tc)),
         "et": float(np.mean(et)),

@@ -112,6 +112,28 @@ def test_real_file_loading_path(tmp_path):
     np.testing.assert_array_equal(a.x, b.x)
 
 
+def test_affine_roundtrip_to_submission(tmp_path):
+    """The source volume's affine must survive into exported submissions
+    (reference keeps nibabel's affine, predict.py:318-328)."""
+    from dctseg.data import nifti
+    from dctseg.utils import export
+
+    root = str(tmp_path / "brats")
+    brats_affine = np.array([[-1., 0., 0., 0.], [0., -1., 0., 239.],
+                             [0., 0., 1., 0.], [0., 0., 0., 1.]], np.float32)
+    synthetic.write_fake_dataset(root, num_train=1, num_valid=1,
+                                 shape=(48, 48, 32))
+    cfg = DataConfig(input_shape=(48, 48, 32), pad_depth=32,
+                     crop_size=(32, 32, 32))
+    ds = BraTSDataset(os.path.join(root, "valid.txt"), root, "full", cfg=cfg)
+    s = ds[0]
+    np.testing.assert_array_equal(s.affine, brats_affine)
+    out = str(tmp_path / "sub.nii.gz")
+    export.export_nifti_segmentation(out, s.target.astype(np.uint8),
+                                     affine=s.affine)
+    np.testing.assert_array_equal(nifti.load(out).affine, brats_affine)
+
+
 def test_drop_modal():
     cfg = DataConfig(synthetic_num_samples=2)
     ds = BraTSDataset(mode="train", drop_modal=True, cfg=cfg)
@@ -166,6 +188,37 @@ def test_augmentation_flags():
     # edge map consistent with (possibly flipped) target
     from dctseg.data.edge import _make_edge_map_scipy
     np.testing.assert_array_equal(a.edge, _make_edge_map_scipy(a.target))
+
+
+def test_prefetch_loader_bounded_inflight():
+    """Workers must not decode an unbounded number of batches ahead of the
+    consumer (ADVICE r1: real samples are ~50 MB; unbounded prefetch OOMs
+    the host).  With prefetch=1 and 1 worker, at most 1 (in-flight) + 1
+    (taken) batches may have started decoding after one consume."""
+    import time
+
+    cfg = DataConfig(synthetic_num_samples=12, input_shape=(32, 32, 24),
+                     pad_depth=24, crop_size=(16, 16, 16))
+
+    class Counting(BraTSDataset):
+        started = 0
+
+        def get(self, idx, rng=None):
+            Counting.started += 1
+            return super().get(idx, rng)
+
+    ds = Counting(mode="valid", cfg=cfg)
+    loader = PrefetchLoader(ds, batch_size=1, shuffle=False, num_workers=1,
+                            prefetch=1)
+    it = iter(loader)
+    next(it)
+    time.sleep(0.5)  # give the worker time to run ahead if it could
+    # consumed 1 (permit released) + at most 1 permit in flight = 2;
+    # allow one extra for the release/acquire race
+    assert Counting.started <= 3, Counting.started
+    rest = list(it)
+    assert Counting.started == 12
+    assert len(rest) == 11
 
 
 def test_prefetch_loader_propagates_worker_errors():

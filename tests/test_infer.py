@@ -108,6 +108,18 @@ def test_validate_softmax_end_to_end(tmp_path, tiny_predictor):
     from dctseg.data import nifti
     seg = nifti.load(str(tmp_path / "sub" / f"{name}.nii.gz")).data
     assert set(np.unique(seg)) <= {0, 1, 2, 4}
+    # per-volume summary CSV (predict_simple.py:147-183): one row per
+    # volume with dice product + pred/gt voxel counts
+    import pandas as pd
+    summary = pd.read_csv(tmp_path / "visual" / "sum.csv")
+    assert len(summary) == 2
+    assert list(summary.columns) == ["name", "wt", "tc", "et", "sum",
+                                     "pre_1", "pre_2", "pre_4",
+                                     "gt_1", "gt_2", "gt_4"]
+    row = summary.iloc[0]
+    np.testing.assert_allclose(row["sum"],
+                               row["wt"] * row["tc"] * row["et"], rtol=1e-6)
+    assert row["gt_1"] > 0  # synthetic volumes contain class-1 voxels
 
 
 def test_validate_single_strategy(tiny_predictor):
