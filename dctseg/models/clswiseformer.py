@@ -49,8 +49,13 @@ REGIONS = ("01", "02", "04")
 
 def trunc_normal_init(std: float = 0.02):
     def init(key, shape, dtype=jnp.float32):
-        # torch.nn.init.trunc_normal_(std=0.02) truncates at +-2 std
-        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+        # torch.nn.init.trunc_normal_(std=0.02) truncates at a=-2, b=2 in
+        # VALUE space — +-100 sigma at std=0.02, i.e. effectively an
+        # untruncated normal; jax.random.truncated_normal takes bounds in
+        # standardized space, so divide by std (ADVICE r1)
+        bound = 2.0 / std
+        return std * jax.random.truncated_normal(key, -bound, bound, shape,
+                                                 dtype)
     return init
 
 

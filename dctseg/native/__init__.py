@@ -9,6 +9,7 @@ framework never hard-depends on the native build.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,26 +20,79 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "edge_map.cc")
 _SO = os.path.join(_DIR, "_libdctseg.so")
+_HASH = _SO + ".sha256"  # source hash the .so was built from
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO,
-           _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _needs_build() -> bool:
+    """Rebuild keyed on source CONTENT hash, not mtime: the .so is built
+    locally (never committed — it carries -march=native code that could
+    SIGILL on a foreign host), and fresh-clone mtimes are unreliable."""
+    if not os.path.exists(_SO):
         return True
-    except (OSError, subprocess.SubprocessError):
-        try:  # retry without -march=native (portability)
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", _SO,
-                            _SRC], check=True, capture_output=True,
-                           timeout=120)
+    try:
+        with open(_HASH) as f:
+            return f.read().strip() != _src_hash()
+    except OSError:
+        return True
+
+
+def _build() -> bool:
+    for extra in (["-march=native"], []):  # fall back for portability
+        cmd = ["g++", "-O3", *extra, "-shared", "-fPIC", "-o", _SO, _SRC]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            with open(_HASH, "w") as f:
+                f.write(_src_hash())
             return True
         except (OSError, subprocess.SubprocessError):
-            return False
+            continue
+    return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    try:
+        l = ctypes.CDLL(_SO)
+        l.edge_map_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        l.zscore_nonzero_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64]
+        l.nonzero_stats_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double)]
+        l.normalize_inplace_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float]
+        return l
+    except (OSError, AttributeError):
+        return None
+
+
+def _selftest(l: ctypes.CDLL) -> bool:
+    """Tiny numerical probe before trusting a loaded binary."""
+    a = np.array([0.0, 2.0, 4.0, 0.0], np.float32)
+    mean = ctypes.c_double()
+    std = ctypes.c_double()
+    try:
+        l.nonzero_stats_f32(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), a.size,
+            ctypes.byref(mean), ctypes.byref(std))
+    except Exception:
+        return False
+    return abs(mean.value - 3.0) < 1e-6 and abs(std.value - 1.0) < 1e-6
 
 
 def lib() -> Optional[ctypes.CDLL]:
@@ -48,30 +102,15 @@ def lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
-            if not _build():
-                return None
-        try:
-            l = ctypes.CDLL(_SO)
-            l.edge_map_i32.argtypes = [
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
-            l.zscore_nonzero_f32.argtypes = [
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int64, ctypes.c_int64]
-            l.nonzero_stats_f32.argtypes = [
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_double),
-                ctypes.POINTER(ctypes.c_double)]
-            l.normalize_inplace_f32.argtypes = [
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-                ctypes.c_float, ctypes.c_float]
-            _lib = l
-        except OSError:
-            _lib = None
+        if _needs_build() and not _build():
+            return None
+        l = _load()
+        if l is None or not _selftest(l):
+            # stale/foreign binary: rebuild once from source
+            l = _load() if _build() else None
+            if l is not None and not _selftest(l):
+                l = None
+        _lib = l
         return _lib
 
 

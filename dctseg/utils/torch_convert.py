@@ -152,9 +152,37 @@ def _map_name(name: str):
     raise KeyError(f"unmapped state_dict entry: {name}")
 
 
-def convert_state_dict(state_dict: Dict[str, np.ndarray]) -> dict:
+def check_fix_index_identity(path: str) -> bool:
+    """True iff a reference ``fix_index.txt`` is the identity scatter map.
+
+    The reference scatters top-k tokens back through ``dict_index[str(id)]``
+    (a 512-wide index row per token, cls_wise_former.py:275-278, 463-479).
+    dctseg's functional scatter (ops/routing.py) assumes that map is the
+    identity (row == [id]*512) — true for every grid-patchify layout, but a
+    converted checkpoint trained with a non-identity table would silently
+    diverge, so verify when the real asset is available (ADVICE r1)."""
+    import ast
+    with open(path) as f:
+        table = ast.literal_eval(f.readline())
+    return all(all(int(v) == int(k) for v in row)
+               for k, row in table.items())
+
+
+def convert_state_dict(state_dict: Dict[str, np.ndarray],
+                       fix_index_path: str = "") -> dict:
     """torch state_dict (numpy values) -> flax 'params' subtree (nested
-    dict).  DDP 'module.' prefixes are stripped."""
+    dict).  DDP 'module.' prefixes are stripped.
+
+    ``fix_index_path``: the reference checkpoint's fix_index.txt, when
+    available — warns if it is not the identity scatter map dctseg assumes
+    (see check_fix_index_identity)."""
+    if fix_index_path:
+        import warnings
+        if not check_fix_index_identity(fix_index_path):
+            warnings.warn(
+                "fix_index.txt is NOT the identity map; converted weights "
+                "will not reproduce the reference's scatter-back dataflow "
+                f"({fix_index_path})", stacklevel=2)
     out: dict = {}
     for name, value in state_dict.items():
         if name.startswith("module."):

@@ -24,6 +24,9 @@ def main(argv=None):
                    help="dctseg checkpoint directory")
     p.add_argument("--epoch", type=int, default=None,
                    help="epoch id to store under (default: from the ckpt)")
+    p.add_argument("--fix-index", default="",
+                   help="the checkpoint's fix_index.txt; verified to be the "
+                        "identity scatter map dctseg assumes")
     p.add_argument("--reverse", action="store_true",
                    help="export the latest dctseg checkpoint in --out as a "
                         "reference-format .pth (positional arg = output)")
@@ -57,7 +60,8 @@ def main(argv=None):
     sd = ckpt.get("state_dict", ckpt)
     epoch = a.epoch if a.epoch is not None else int(ckpt.get("epoch", 0))
     sd_np = {k: v.detach().cpu().numpy() for k, v in sd.items()}
-    params = {"params": convert_state_dict(sd_np)}
+    params = {"params": convert_state_dict(sd_np,
+                                            fix_index_path=a.fix_index)}
     n = sum(int(x.size) for x in jax.tree.leaves(params))
     print(f"converted {len(sd_np)} tensors, {n} params -> epoch {epoch}")
 

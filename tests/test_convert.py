@@ -202,3 +202,23 @@ def test_save_torch_checkpoint(tmp_path):
     again = load_torch_checkpoint(p)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(again)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_check_fix_index_identity(tmp_path):
+    """The identity assumption the parity oracle relies on must be checkable
+    against a real fix_index.txt (docs/PARITY.md)."""
+    from dctseg.utils.torch_convert import check_fix_index_identity
+
+    good = tmp_path / "fix_index.txt"
+    good.write_text(repr({str(i): [i] * 8 for i in range(16)}))
+    assert check_fix_index_identity(str(good))
+
+    bad = tmp_path / "fix_index_bad.txt"
+    table = {str(i): [i] * 8 for i in range(16)}
+    table["3"] = [7] * 8
+    bad.write_text(repr(table))
+    assert not check_fix_index_identity(str(bad))
+
+    import pytest
+    with pytest.warns(UserWarning, match="NOT the identity"):
+        convert_state_dict({}, fix_index_path=str(bad))
