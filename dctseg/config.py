@@ -77,6 +77,10 @@ class ModelConfig:
     # Rematerialize UNet residual blocks in backward (needed at 128^3 to fit
     # a 16GB chip; off for tiny test configs where recompute just costs time).
     remat: bool = True
+    # Run the full-resolution UNet stages on a space-to-depth view (exact
+    # weight-transformed convs, ~2.7x faster full-res convs on TPU v5e; see
+    # dctseg/ops/s2d.py and docs/PERF.md).  Checkpoint-compatible both ways.
+    s2d_fullres: bool = True
 
     @property
     def geometry(self) -> dict:

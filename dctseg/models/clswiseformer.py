@@ -71,7 +71,7 @@ class ClsWiseFormer(nn.Module):
 
         self.unet = UnetEncoder(base_channels=cfg.base_channels,
                                 init_dropout=cfg.init_conv_dropout, dtype=dt,
-                                remat=cfg.remat)
+                                remat=cfg.remat, s2d=cfg.s2d_fullres)
         # edge decouple (cls_wise_former.py:273, 284-300)
         self.conv_64_to_32 = Conv3d(cfg.base_channels * 2, stride=2, dtype=dt)
         self.conv_mid = {r: Conv3d(g["edge_ch"], dtype=dt,
@@ -122,7 +122,8 @@ class ClsWiseFormer(nn.Module):
         self.sum_fusion = Conv3d(g["bottleneck_ch"], dtype=dt,
                                  name="sum_fusion")
         self.decoder = Decoder(g["bottleneck_ch"], cfg.num_classes, dtype=dt,
-                               remat=cfg.remat, name="decoder")
+                               remat=cfg.remat, s2d=cfg.s2d_fullres,
+                               name="decoder")
 
     def _route(self, tokens: jnp.ndarray, query: jnp.ndarray,
                class_token: jnp.ndarray, pe: PositionalEncoding,

@@ -19,8 +19,118 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from dctseg.models.layers import Conv3d, ConvTranspose3d
+from dctseg.models.layers import Conv3d, ConvTranspose3d, torch_kernel_init
+from dctseg.ops import s2d as s2dops
 from dctseg.ops.norms import instance_norm, leaky_relu
+
+
+# ---- space-to-depth execution strategy for the full-res stages ----
+#
+# The 128^3 stages have 16 channels; XLA pads conv channel dims onto the
+# 128-wide MXU lanes, leaving them ~8x under-utilized (measured 6 TF/s,
+# docs/PERF.md).  These modules run the SAME convolutions on a 64^3 x 128ch
+# space-to-depth view via exact weight transforms (dctseg/ops/s2d.py);
+# parameter tree paths/shapes/inits are IDENTICAL to the plain modules, so
+# checkpoints are interchangeable and the strategy is a pure config flag.
+
+
+class _ConvParams(nn.Module):
+    """Declares kernel/bias with nn.Conv's names/shapes/init so the s2d
+    modules share checkpoint layout with their plain counterparts."""
+    features: int
+    in_features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        shape = ((k, k, k, self.in_features, self.features)
+                 if isinstance(k, int) else tuple(k) +
+                 (self.in_features, self.features))
+        kernel = self.param("kernel", torch_kernel_init, shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+class S2DConv3d(nn.Module):
+    """Drop-in for Conv3d operating on the s2d view.
+
+    kernel_size 3 keeps the s2d view; kernel_size 1 is a block-diagonal
+    pointwise conv (``groups`` gives fine channel sizes of concatenated s2d
+    inputs); stride 2 lands on the PLAIN coarse grid (for EnDown).
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    groups: tuple = ()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x8):
+        cin = (sum(self.groups) if self.groups
+               else x8.shape[-1] // s2dops.B3)
+        kernel, bias = _ConvParams(self.features, cin, self.kernel_size,
+                                   name="Conv_0")()
+        w = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        if self.kernel_size == 1:
+            w8 = s2dops.pointwise_kernel(w, self.groups or (cin,))
+            y = s2dops.conv3d_s2d(x8, w8, padding=(0, 0))
+            return y + s2dops.tile_bias(b)
+        if self.stride == 2:
+            y = s2dops.conv3d_s2d(x8, s2dops.down_kernel(w), padding=(1, 0))
+            return y + b
+        y = s2dops.conv3d_s2d(x8, s2dops.conv_kernel(w), padding=(1, 1))
+        return y + s2dops.tile_bias(b)
+
+
+class S2DDeconv(nn.Module):
+    """ConvTranspose3d(k=2, s=2) emitting the s2d view directly: the
+    upsample becomes a full-lane 1x1 conv at coarse resolution."""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel, bias = _ConvParams(self.features, cin, 2,
+                                   name="ConvTranspose_0")()
+        w8 = s2dops.deconv_kernel(kernel.astype(self.dtype))
+        y = s2dops.conv3d_s2d(x, w8, padding=(0, 0))
+        return y + s2dops.tile_bias(bias.astype(self.dtype))
+
+
+class _EnBlockS2D(nn.Module):
+    """_EnBlock on the s2d view (identical math, see _EnBlock)."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        y = s2dops.instance_norm_s2d(x, self.eps)
+        y = nn.relu(y)
+        y = S2DConv3d(self.channels, dtype=self.dtype, name="conv1")(y)
+        y = s2dops.instance_norm_s2d(y, self.eps)
+        y = nn.relu(y)
+        y = S2DConv3d(self.channels, dtype=self.dtype, name="conv2")(y)
+        return y + x
+
+
+class _EnBlock2S2D(nn.Module):
+    """_EnBlock2 on the s2d view (identical math, see _EnBlock2)."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        y = S2DConv3d(self.channels, dtype=self.dtype, name="conv1")(x)
+        y = leaky_relu(s2dops.instance_norm_s2d(y, self.eps))
+        y = S2DConv3d(self.channels, dtype=self.dtype, name="conv2")(y)
+        y = leaky_relu(s2dops.instance_norm_s2d(y, self.eps))
+        return y + x
 
 
 class _EnBlock(nn.Module):
@@ -66,21 +176,43 @@ class UnetEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = True   # rematerialize residual blocks (full-res 3D conv
                          # activations at 128^3 otherwise OOM a 16GB chip)
+    s2d: bool = True     # run the full-res stage space-to-depth (x1_1 is
+                         # then returned in the s2d view; the decoder's
+                         # matching flag consumes it)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        EnBlock = nn.remat(_EnBlock) if self.remat else _EnBlock
         b0 = self.base_channels
-        x = Conv3d(b0, dtype=self.dtype, name="init_conv")(x)
-        # Reference quirk: F.dropout3d is called with training=True even in
-        # eval mode (Unet_skipconnection.py:31), making reference inference
-        # stochastic.  We apply spatial dropout only when train=True.
-        x = nn.Dropout(rate=self.init_dropout, broadcast_dims=(1, 2, 3),
-                       deterministic=not train)(x)
+        if self.s2d:
+            EnBlock = nn.remat(_EnBlockS2D) if self.remat else _EnBlockS2D
+            x = s2dops.space_to_depth(x.astype(self.dtype))
+            x = S2DConv3d(b0, dtype=self.dtype, name="init_conv")(x)
+            # spatial dropout zeroes whole fine channels: reshape so the
+            # mask broadcasts over (coarse spatial, block offsets)
+            n, d, h, w, cb = x.shape
+            x = x.reshape(n, d, h, w, s2dops.B3, cb // s2dops.B3)
+            x = nn.Dropout(rate=self.init_dropout,
+                           broadcast_dims=(1, 2, 3, 4),
+                           deterministic=not train)(x)
+            x = x.reshape(n, d, h, w, cb)
+            x1_1 = EnBlock(b0, dtype=self.dtype, name="en1_a")(x)
+            x1_1 = EnBlock(b0, dtype=self.dtype, name="en1_b")(x1_1)
+            x = S2DConv3d(b0 * 2, stride=2, dtype=self.dtype,
+                          name="down1")(x1_1)
+        else:
+            EnBlock = nn.remat(_EnBlock) if self.remat else _EnBlock
+            x = Conv3d(b0, dtype=self.dtype, name="init_conv")(x)
+            # Reference quirk: F.dropout3d is called with training=True even
+            # in eval mode (Unet_skipconnection.py:31), making reference
+            # inference stochastic.  We apply dropout only when train=True.
+            x = nn.Dropout(rate=self.init_dropout, broadcast_dims=(1, 2, 3),
+                           deterministic=not train)(x)
 
-        x1_1 = EnBlock(b0, dtype=self.dtype, name="en1_a")(x)
-        x1_1 = EnBlock(b0, dtype=self.dtype, name="en1_b")(x1_1)
-        x = Conv3d(b0 * 2, stride=2, dtype=self.dtype, name="down1")(x1_1)
+            x1_1 = EnBlock(b0, dtype=self.dtype, name="en1_a")(x)
+            x1_1 = EnBlock(b0, dtype=self.dtype, name="en1_b")(x1_1)
+            x = Conv3d(b0 * 2, stride=2, dtype=self.dtype,
+                       name="down1")(x1_1)
+        EnBlock = nn.remat(_EnBlock) if self.remat else _EnBlock
 
         x2_1 = EnBlock(b0 * 2, dtype=self.dtype, name="en2_a")(x)
         x2_1 = EnBlock(b0 * 2, dtype=self.dtype, name="en2_b")(x2_1)
@@ -115,6 +247,26 @@ class DeUpCat(nn.Module):
         return y
 
 
+class DeUpCatS2D(nn.Module):
+    """DeUpCat for the full-res stage on the s2d view: the x2 transpose-conv
+    upsample becomes a full-lane 1x1 conv at coarse resolution, the skip
+    concat happens in s2d channel groups, and conv3 is the matching
+    block-diagonal pointwise conv.  Identical math to DeUpCat."""
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip8):
+        x = Conv3d(self.out_channels, kernel_size=1, padding=0,
+                   dtype=self.dtype, name="conv1")(x)
+        y8 = S2DDeconv(self.out_channels, dtype=self.dtype, name="up")(x)
+        skip_fine = skip8.shape[-1] // s2dops.B3
+        y8 = jnp.concatenate([skip8, y8], axis=-1)
+        return S2DConv3d(self.out_channels, kernel_size=1,
+                         groups=(skip_fine, self.out_channels),
+                         dtype=self.dtype, name="conv3")(y8)
+
+
 class Decoder(nn.Module):
     """UNet decoder with deep skip connections (cls_wise_former.py:614-664).
 
@@ -127,6 +279,8 @@ class Decoder(nn.Module):
     num_classes: int
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
+    s2d: bool = True     # full-res stage on the s2d view; x1_1 must arrive
+                         # in the s2d view (UnetEncoder(s2d=True))
 
     @nn.compact
     def __call__(self, x1_1, x2_1, x3_1, x):
@@ -145,12 +299,21 @@ class Decoder(nn.Module):
         y3 = EnBlock2(e // 8, dtype=self.dtype, name="deblock3")(y3)
         y3 = EnBlock2(e // 8, dtype=self.dtype, name="deblock3_1")(y3)
 
-        y2 = DeUpCat(e // 16, dtype=self.dtype, name="deup2")(y3, x1_1)
-        y2 = EnBlock2(e // 16, dtype=self.dtype, name="deblock2")(y2)
-        y2 = EnBlock2(e // 16, dtype=self.dtype, name="deblock2_1")(y2)
-
-        y = Conv3d(self.num_classes, kernel_size=1, padding=0,
-                   dtype=self.dtype, name="endconv")(y2)
+        if self.s2d:
+            Block2 = nn.remat(_EnBlock2S2D) if self.remat else _EnBlock2S2D
+            y2 = DeUpCatS2D(e // 16, dtype=self.dtype,
+                            name="deup2")(y3, x1_1)
+            y2 = Block2(e // 16, dtype=self.dtype, name="deblock2")(y2)
+            y2 = Block2(e // 16, dtype=self.dtype, name="deblock2_1")(y2)
+            y = S2DConv3d(self.num_classes, kernel_size=1,
+                          dtype=self.dtype, name="endconv")(y2)
+            y = s2dops.depth_to_space(y)
+        else:
+            y2 = DeUpCat(e // 16, dtype=self.dtype, name="deup2")(y3, x1_1)
+            y2 = EnBlock2(e // 16, dtype=self.dtype, name="deblock2")(y2)
+            y2 = EnBlock2(e // 16, dtype=self.dtype, name="deblock2_1")(y2)
+            y = Conv3d(self.num_classes, kernel_size=1, padding=0,
+                       dtype=self.dtype, name="endconv")(y2)
         return nn.softmax(y.astype(jnp.float32), axis=-1)
 
 
@@ -167,14 +330,16 @@ class PlainUnet(nn.Module):
     init_dropout: float = 0.2
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
+    s2d: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = x.astype(self.dtype)
         enc = UnetEncoder(base_channels=self.base_channels,
                           init_dropout=self.init_dropout, dtype=self.dtype,
-                          remat=self.remat, name="unet")
+                          remat=self.remat, s2d=self.s2d, name="unet")
         x1_1, x2_1, x3_1, bottleneck = enc(x, train=train)
         dec = Decoder(self.base_channels * 16, self.num_classes,
-                      dtype=self.dtype, remat=self.remat, name="decoder")
+                      dtype=self.dtype, remat=self.remat, s2d=self.s2d,
+                      name="decoder")
         return dec(x1_1, x2_1, x3_1, bottleneck)

@@ -1,0 +1,164 @@
+"""Space-to-depth execution strategy for full-resolution 3D convs.
+
+Motivation (measured on TPU v5e, see docs/PERF.md): XLA pads a conv's
+channel dims onto the 128-wide MXU lanes, so the model's full-res stages —
+3x3x3 convs with 16 channels at 128^3 (Unet_skipconnection.py:48-56,
+cls_wise_former.py:732-754) — run at ~6 TF/s against a ~200 TF/s dense
+ceiling.  Re-expressing the SAME convolution on a space-to-depth view
+(2x2x2 blocks folded into channels: 64^3 x 128ch) runs the MXU dense:
+8x the arithmetic at ~137 TF/s ≈ 2.7x faster, and 5x+ for pointwise convs.
+
+Everything here is an EXACT weight-space transform: parameters keep their
+reference shapes (checkpoints interchangeable); the transforms build the
+equivalent coarse-grid kernels at apply time (27*C*C floats — negligible).
+
+Layout convention: s2d channel index = offset * C + c, offset = (oz*b+oy)*b+ox
+(offset-major).  All transforms assume block b=2 and odd fine kernels.
+
+Derivation for the 3^3 stride-1 SAME conv: with fine output f = 2*Co + o and
+fine tap k, the input position 2*Co + (o+k-1) decomposes as
+2*(Co + K - 1) + i with K = floor((o+k-1)/2)+1 in {0,1,2} and i in {0,1} —
+i.e. a coarse 3^3 SAME conv whose kernel W'[K, i*C+ci, o*C+co] = W[k, ci, co]
+for k = 2K + i - o - 1 (zero where k is out of range: W' is 1/8 dense).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = 2          # block size (fixed: the model's full-res stages are 2x finer)
+B3 = B ** 3
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, D, H, W, C) -> (N, D/2, H/2, W/2, 8C), offset-major channels."""
+    n, d, h, w, c = x.shape
+    x = x.reshape(n, d // B, B, h // B, B, w // B, B, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(n, d // B, h // B, w // B, B3 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    n, d, h, w, cb = x.shape
+    c = cb // B3
+    x = x.reshape(n, d, h, w, B, B, B, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(n, d * B, h * B, w * B, c)
+
+
+def _axis_table(kk: int) -> np.ndarray:
+    """One-hot S[K, i, o, k]: coarse tap K picks fine tap k for (in-offset i,
+    out-offset o).  kk = fine kernel size (odd)."""
+    pad = (kk - 1) // 2
+    kc = kk  # coarse kernel size equals fine size for b=2, kk odd <= 3
+    s = np.zeros((kc, B, B, kk), np.float32)
+    for o in range(B):
+        for k in range(kk):
+            t = o + k - pad              # fine input offset from 2*Co
+            K = t // 2 + pad             # coarse tap index
+            i = t - 2 * (t // 2)         # input offset within block
+            if 0 <= K < kc:
+                s[K, i, o, k] = 1.0
+    return s
+
+
+def conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3,Ci,Co) stride-1 SAME fine conv -> (3,3,3,8Ci,8Co) coarse."""
+    kk, _, _, ci, co = w.shape
+    s = jnp.asarray(_axis_table(kk))
+    # out[a,b,c, i,j,l,d, o,p,r,e] = sum_{k,m,n} S[a,i,o,k] S[b,j,p,m]
+    #                                S[c,l,r,n] w[k,m,n,d,e]
+    t = jnp.einsum("aiok,bjpm,clrn,kmnde->abcijldopre", s, s, s, w)
+    return t.reshape(kk, kk, kk, B3 * ci, B3 * co)
+
+
+def down_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3,Ci,Co) stride-2 pad-1 fine conv -> (2,2,2,8Ci,Co) coarse conv
+    with per-axis padding (1, 0); output lands on the PLAIN coarse grid."""
+    kk, _, _, ci, co = w.shape
+    assert kk == 3
+    s = np.zeros((2, B, kk), np.float32)  # S[K, i, k]: o == 0 only
+    for k in range(kk):
+        t = k - 1                         # fine offset from 2*Co
+        K, i = t // 2 + 1, t - 2 * (t // 2)
+        s[K, i, k] = 1.0
+    s = jnp.asarray(s)
+    t = jnp.einsum("aik,bjm,cln,kmnde->abcijlde", s, s, s, w)
+    return t.reshape(2, 2, 2, B3 * ci, co)
+
+
+def pointwise_kernel(w: jnp.ndarray,
+                     group_sizes: Sequence[int]) -> jnp.ndarray:
+    """Fine 1x1 conv on a channel-concat of s2d tensors -> coarse 1x1.
+
+    ``group_sizes``: fine channel count of each concatenated s2d group (the
+    input channel layout is [g0*8ch, g1*8ch, ...], each group offset-major);
+    sum(group_sizes) must equal w's input dim.  Output is offset-major 8Co.
+    """
+    if w.ndim == 5:
+        w = w.reshape(w.shape[-2], w.shape[-1])
+    cin, co = w.shape
+    assert sum(group_sizes) == cin
+    out = jnp.zeros((B3 * cin, B3 * co), w.dtype)
+    base_fine = 0   # fine channel offset within w's input dim
+    base_s2d = 0    # channel offset within the concatenated s2d input
+    for g in group_sizes:
+        blk = w[base_fine:base_fine + g]              # (g, co)
+        # offset o of the group scatters to output offset o (block diagonal)
+        for o in range(B3):
+            out = out.at[base_s2d + o * g:base_s2d + (o + 1) * g,
+                         o * co:(o + 1) * co].set(blk)
+        base_fine += g
+        base_s2d += B3 * g
+    return out.reshape(1, 1, 1, B3 * cin, B3 * co)
+
+
+def deconv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(2,2,2,Ci,Co) stride-2 transpose conv -> (1,1,1,Ci,8Co) coarse 1x1
+    producing the s2d view directly (kernel==stride: no overlap, each fine
+    output 2*Co + o reads exactly tap o)."""
+    k0, k1, k2, ci, co = w.shape
+    assert (k0, k1, k2) == (B, B, B)
+    # jax.lax.conv_transpose (DHWIO) uses the flipped-kernel (gradient)
+    # convention: fine output 2*Co + o reads tap (1-oz, 1-oy, 1-ox)
+    w = w[::-1, ::-1, ::-1]
+    # offset-major output: channel (o, co), o = (oz*2+oy)*2+ox
+    t = w.transpose(3, 0, 1, 2, 4).reshape(ci, B3 * co)
+    return t.reshape(1, 1, 1, ci, B3 * co)
+
+
+def tile_bias(bias: jnp.ndarray) -> jnp.ndarray:
+    """Fine per-channel bias -> s2d channels (offset-major: plain tile)."""
+    return jnp.tile(bias, B3)
+
+
+def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm with statistics per ORIGINAL fine channel: reduce over
+    coarse spatial dims AND block offsets (equals instance_norm on the
+    depth_to_space view; see dctseg/ops/norms.py for the f32 policy)."""
+    n, d, h, w, cb = x.shape
+    c = cb // B3
+    xr = x.reshape(n, d, h, w, B3, c)
+    axes = (1, 2, 3, 4)
+    mean = jnp.mean(xr, axis=axes, keepdims=True, dtype=jnp.float32)
+    sq = jnp.mean(jnp.square(xr.astype(jnp.float32)), axis=axes,
+                  keepdims=True, dtype=jnp.float32)
+    var = jnp.maximum(sq - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    y = (xr.astype(jnp.float32) - mean) * scale
+    return y.astype(x.dtype).reshape(n, d, h, w, cb)
+
+
+def conv3d_s2d(x: jnp.ndarray, w8: jnp.ndarray,
+               stride: int = 1,
+               padding: Tuple[int, int] = (1, 1)) -> jnp.ndarray:
+    """conv_general_dilated on the s2d view (NDHWC/DHWIO)."""
+    return jax.lax.conv_general_dilated(
+        x, w8.astype(x.dtype), (stride,) * 3, (padding,) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)

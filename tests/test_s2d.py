@@ -1,0 +1,145 @@
+"""Space-to-depth transform correctness: every s2d kernel transform must
+reproduce the plain fine-grid op exactly (same dtype, fp32 tolerances)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dctseg.ops import s2d
+
+KEY = jax.random.PRNGKey(7)
+
+
+def _conv(x, w, stride=1, pad=1):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride,) * 3, ((pad, pad),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def test_space_to_depth_roundtrip():
+    x = jax.random.normal(KEY, (2, 8, 8, 8, 5))
+    np.testing.assert_array_equal(
+        np.asarray(s2d.depth_to_space(s2d.space_to_depth(x))), np.asarray(x))
+
+
+def test_s2d_layout_offset_major():
+    x = jnp.arange(2 * 2 * 2 * 3, dtype=jnp.float32).reshape(1, 2, 2, 2, 3)
+    y = s2d.space_to_depth(x)
+    assert y.shape == (1, 1, 1, 1, 24)
+    # channel index = ((oz*2+oy)*2+ox)*C + c
+    np.testing.assert_array_equal(np.asarray(y)[0, 0, 0, 0],
+                                  np.asarray(x).ravel())
+
+
+@pytest.mark.parametrize("ci,co", [(3, 5), (16, 16)])
+def test_conv_kernel_exact(ci, co):
+    x = jax.random.normal(KEY, (2, 8, 8, 8, ci))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, ci, co)) * 0.2
+    ref = _conv(x, w)
+    got = s2d.depth_to_space(
+        s2d.conv3d_s2d(s2d.space_to_depth(x), s2d.conv_kernel(w)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_down_kernel_exact():
+    ci, co = 6, 4
+    x = jax.random.normal(KEY, (2, 8, 8, 8, ci))
+    w = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 3, ci, co)) * 0.2
+    ref = _conv(x, w, stride=2, pad=1)        # (2, 4, 4, 4, co) plain grid
+    got = s2d.conv3d_s2d(s2d.space_to_depth(x), s2d.down_kernel(w),
+                         stride=1, padding=(1, 0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pointwise_kernel_exact_with_groups():
+    c1, c2, co = 3, 4, 6
+    a = jax.random.normal(KEY, (2, 8, 8, 8, c1))
+    b = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 8, c2))
+    w = jax.random.normal(jax.random.PRNGKey(4), (1, 1, 1, c1 + c2, co)) * 0.3
+    ref = _conv(jnp.concatenate([a, b], -1), w, pad=0)
+    x8 = jnp.concatenate([s2d.space_to_depth(a), s2d.space_to_depth(b)], -1)
+    got = s2d.depth_to_space(
+        s2d.conv3d_s2d(x8, s2d.pointwise_kernel(w, (c1, c2)), padding=(0, 0)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_deconv_kernel_exact():
+    ci, co = 5, 3
+    x = jax.random.normal(KEY, (2, 4, 4, 4, ci))
+    w = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 2, ci, co)) * 0.3
+    ref = jax.lax.conv_transpose(
+        x, w, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = s2d.depth_to_space(
+        s2d.conv3d_s2d(x, s2d.deconv_kernel(w), padding=(0, 0)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_instance_norm_s2d_matches_fine():
+    from dctseg.ops.norms import instance_norm
+    x = jax.random.normal(KEY, (2, 8, 8, 8, 6)) * 3 + 1
+    ref = instance_norm(x)
+    got = s2d.depth_to_space(s2d.instance_norm_s2d(s2d.space_to_depth(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tile_bias_layout():
+    b = jnp.asarray([1.0, 2.0, 3.0])
+    t = s2d.tile_bias(b)
+    assert t.shape == (24,)
+    np.testing.assert_array_equal(np.asarray(t[3:6]), [1.0, 2.0, 3.0])
+
+
+def test_model_s2d_equivalence():
+    """s2d_fullres is a pure execution strategy: identical parameter tree
+    (checkpoints interchangeable) and matching forward outputs."""
+    from dctseg.config import tiny_model_config
+    from dctseg.models.clswiseformer import build_model
+
+    cfg_a = tiny_model_config(s2d_fullres=False)
+    cfg_b = tiny_model_config(s2d_fullres=True)
+    ma, mb = build_model(cfg_a), build_model(cfg_b)
+    x = jax.random.normal(KEY, (1, 32, 32, 32, 4))
+    pa = ma.init(jax.random.PRNGKey(0), x, train=False)
+    pb = mb.init(jax.random.PRNGKey(0), x, train=False)
+    # identical tree structure AND identical values (same init streams)
+    flat_a = jax.tree_util.tree_flatten_with_path(pa)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(pb)[0]
+    assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+    for (ka, va), (_, vb) in zip(flat_a, flat_b):
+        assert va.shape == vb.shape, ka
+
+    ya = ma.apply(pa, x, train=False)[0]
+    yb = mb.apply(pa, x, train=False)[0]   # same params through s2d path
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_model_s2d_train_step_gradients():
+    """The s2d path must be trainable: gradients exist for every param and
+    match the plain path closely (exact same math modulo fp reassociation)."""
+    from dctseg.config import tiny_model_config
+    from dctseg.models.clswiseformer import build_model
+
+    cfg_a = tiny_model_config(s2d_fullres=False)
+    cfg_b = tiny_model_config(s2d_fullres=True)
+    ma, mb = build_model(cfg_a), build_model(cfg_b)
+    x = jax.random.normal(KEY, (1, 32, 32, 32, 4))
+    p = ma.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(model, params):
+        return jnp.mean(model.apply(params, x, train=False)[0] ** 2)
+
+    ga = jax.grad(lambda q: loss(ma, q))(p)
+    gb = jax.grad(lambda q: loss(mb, q))(p)
+    la = jax.tree.leaves(ga)
+    lb = jax.tree.leaves(gb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=5e-3)
