@@ -106,6 +106,9 @@ class DataConfig:
     crop_size: Tuple[int, int, int] = (128, 128, 128)
     modalities: Tuple[str, ...] = ("flair", "t1", "t1ce", "t2")
     drop_modal: bool = False        # random modality dropout at load time
+    missing_modalities: Tuple[int, ...] = ()  # force these modality indices
+    # absent on every sample (deterministic missing-modality evaluation; the
+    # capability test_all_pth.py:112 exercises with drop_modal)
     # optional train-time augmentation (the reference's loader is absent
     # upstream; these mirror the standard BraTS recipe, default off)
     augment_flip: bool = False      # random axis flips (image+target+edge)
@@ -114,6 +117,10 @@ class DataConfig:
     prefetch: int = 2
     seed: int = 1000
     synthetic_num_samples: int = 8  # used when root == '' (synthetic data)
+    synthetic_hardness: str = "simple"  # 'simple' | 'hard' (multi-focal,
+    # irregular lesions; see dctseg/data/synthetic.py)
+    cache_dir: str = ""  # preprocessed-volume cache: decode NIfTI once into
+    # mmap-able .npy + cached z-score stats; epoch 2+ reads only crop pages
 
 
 @dataclasses.dataclass(frozen=True)

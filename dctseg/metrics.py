@@ -117,7 +117,23 @@ def hausdorff_distance(test, reference, voxel_spacing=None,
     return float(max(d1.max(), d2.max()))
 
 
-def cal_hausdorff(output: np.ndarray, target: np.ndarray) -> List[float]:
-    """[WT, TC, ET] HD95 (predict_simple.py:122-144)."""
+def cal_hausdorff(output: np.ndarray, target: np.ndarray,
+                  batched_call_shape: bool = True) -> List[float]:
+    """[WT, TC, ET] HD95 (predict_simple.py:122-144).
+
+    ``batched_call_shape`` replicates how the reference actually invokes
+    medpy: predict_simple.py:393,408 passes the masks WITH their leading
+    batch-1 axis, and medpy's ``binary_erosion`` with a 4-D cross footprint
+    erodes everything along a size-1 axis (every voxel borders the array
+    edge there), so the "surfaces" degenerate to the full masks and HD95
+    becomes the pooled 95th percentile of ALL-voxel distances — measurably
+    smaller than true surface HD95.  The reference's headline numbers
+    include this quirk, so it is the default; pass False for the corrected
+    3-D surface-distance metric.
+    """
+    if batched_call_shape:
+        output, target = np.asarray(output), np.asarray(target)
+        if output.ndim == 3:
+            output, target = output[None], target[None]
     return [hausdorff_distance_95(o, t)
             for o, t in zip(_composites(output), _composites(target))]

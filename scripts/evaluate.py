@@ -29,6 +29,14 @@ def parse_args(argv=None):
     p.add_argument("--epoch", type=int, default=None,
                    help="checkpoint epoch to load (default: latest)")
     p.add_argument("--drop-modal", action="store_true")
+    p.add_argument("--missing", default="",
+                   help="comma-separated modality names or indices to zero "
+                        "out on every volume (missing-modality evaluation), "
+                        "e.g. --missing t1ce or --missing 0,2")
+    p.add_argument("--cache-dir", default="",
+                   help="preprocessed-volume cache dir")
+    p.add_argument("--synthetic-hardness", default="simple",
+                   choices=["simple", "hard"])
     p.add_argument("--output-dir", default="output")
     p.add_argument("--snapshot", action="store_true", help="PNG slices")
     p.add_argument("--csv", action="store_true", help="per-slice CSV")
@@ -70,6 +78,9 @@ def main(argv=None):
     from dctseg.utils.export import export_checkpoint_sweep_csv
     from dctseg.utils.logging_utils import setup_logging
 
+    from dctseg.utils.proctitle import set_process_title
+    set_process_title("dctseg:test")  # reference test*.py:146 'Testing!'
+
     log = setup_logging(os.path.join(a.output_dir, "eval.txt"))
     mcfg = ModelConfig(
         img_dim=a.img_dim, base_channels=a.base_channels,
@@ -79,8 +90,14 @@ def main(argv=None):
            else {"top_num": min(128, (a.img_dim // 16) ** 3)}))
     model = build_model(mcfg)
 
+    names = DataConfig().modalities
+    missing = tuple(
+        int(tok) if tok.isdigit() else names.index(tok)
+        for tok in (t.strip() for t in a.missing.split(",")) if tok)
     dcfg = DataConfig(root=a.root, valid_file=a.valid_file,
-                      drop_modal=a.drop_modal,
+                      drop_modal=a.drop_modal, missing_modalities=missing,
+                      cache_dir=a.cache_dir,
+                      synthetic_hardness=a.synthetic_hardness,
                       **({} if a.num_samples is None
                          else {"synthetic_num_samples": a.num_samples}))
     mode = "full" if a.strategy in ("tiling", "tiling_tta") else "valid"

@@ -24,6 +24,16 @@ def parse_args(argv=None):
     p.add_argument("--train-file", default="train.txt")
     p.add_argument("--drop-modal", action="store_true")
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--cache-dir", default="",
+                   help="preprocessed-volume cache dir (decode NIfTI once; "
+                        "epoch 2+ reads mmap pages only)")
+    p.add_argument("--num-samples", type=int, default=None,
+                   help="synthetic dataset size (no --root only)")
+    p.add_argument("--synthetic-hardness", default="simple",
+                   choices=["simple", "hard"],
+                   help="synthetic pathology difficulty (no --root only)")
+    p.add_argument("--augment-flip", action="store_true")
+    p.add_argument("--augment-intensity", type=float, default=0.0)
     # training (reference train.py:76-108)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--weight-decay", type=float, default=1e-5)
@@ -65,7 +75,12 @@ def build_config(a):
         **({} if a.img_dim == 128 else {"top_num": min(128, (a.img_dim // 16) ** 3)}))
     data = DataConfig(root=a.root, train_file=a.train_file,
                       drop_modal=a.drop_modal, num_workers=a.num_workers,
-                      seed=a.seed)
+                      seed=a.seed, cache_dir=a.cache_dir,
+                      synthetic_hardness=a.synthetic_hardness,
+                      augment_flip=a.augment_flip,
+                      augment_intensity=a.augment_intensity,
+                      **({} if a.num_samples is None
+                         else {"synthetic_num_samples": a.num_samples}))
     train = TrainConfig(
         lr=a.lr, weight_decay=a.weight_decay, criterion=a.criterion,
         start_epoch=a.start_epoch, end_epoch=a.end_epoch,
@@ -83,6 +98,9 @@ def main(argv=None):
     from dctseg.utils.jax_setup import enable_compile_cache
     enable_compile_cache()
     from dctseg.utils.logging_utils import setup_logging
+
+    from dctseg.utils.proctitle import set_process_title
+    set_process_title("dctseg:train")  # reference train.py:120 'Training!'
 
     stamp = time.strftime("%Y%m%d_%H%M%S")
     log = setup_logging(os.path.join(a.log_dir,

@@ -233,3 +233,64 @@ def test_prefetch_loader_propagates_worker_errors():
     loader = PrefetchLoader(boom, batch_size=1, shuffle=False, num_workers=1)
     with pytest.raises(RuntimeError, match="decode failed"):
         list(loader)
+
+
+def test_preprocessed_volume_cache(tmp_path):
+    """cache_dir decodes each case once into mmap-able .npy + cached stats;
+    cached samples are bit-identical to direct NIfTI loads, and subsequent
+    loads never touch the NIfTI files at all."""
+    root = str(tmp_path / "brats")
+    cache = str(tmp_path / "cache")
+    synthetic.write_fake_dataset(root, num_train=1, num_valid=1,
+                                 shape=(64, 64, 40))
+    base_cfg = dict(input_shape=(64, 64, 40), pad_depth=48,
+                    crop_size=(32, 32, 32))
+    lst = os.path.join(root, "train.txt")
+    direct = BraTSDataset(lst, root, "valid", cfg=DataConfig(**base_cfg))[0]
+    ds = BraTSDataset(lst, root, "valid",
+                      cfg=DataConfig(cache_dir=cache, **base_cfg))
+    first = ds[0]
+    np.testing.assert_allclose(first.x, direct.x, rtol=1e-6)
+    np.testing.assert_array_equal(first.target, direct.target)
+    np.testing.assert_array_equal(first.affine, direct.affine)
+    files = sorted(os.listdir(cache))
+    assert any(f.endswith(".img.npy") for f in files)
+    # prove the cache is authoritative: remove the NIfTI source entirely
+    import shutil
+    shutil.rmtree(os.path.join(root, ds.names[0]))
+    again = ds[0]
+    np.testing.assert_array_equal(again.x, first.x)
+    np.testing.assert_array_equal(again.target, first.target)
+    # full mode reads through the same cache
+    full = BraTSDataset(lst, root, "full",
+                        cfg=DataConfig(cache_dir=cache, **base_cfg))[0]
+    assert full.x.shape == (64, 64, 48, 4)
+
+
+def test_missing_modalities_deterministic():
+    """missing_modalities forces given channels absent on every sample,
+    including in valid mode where random drop_modal is inert."""
+    cfg = DataConfig(synthetic_num_samples=1, missing_modalities=(1, 3))
+    ds = BraTSDataset(mode="valid", cfg=cfg)
+    s = ds[0]
+    np.testing.assert_array_equal(s.missing_modal, [1, 0, 1, 0])
+    assert (s.x[..., 1] == 0).all() and (s.x[..., 3] == 0).all()
+    assert (s.x[..., 0] != 0).any()
+
+
+def test_synthetic_hardness_modes():
+    """'hard' volumes are multi-focal/lobed with weaker contrast; both
+    hardness modes keep the BraTS label alphabet and brain-masked zeros."""
+    simple_img, simple_lab = synthetic.make_volume(7, (64, 64, 48))
+    hard_img, hard_lab = synthetic.make_volume(7, (64, 64, 48),
+                                               hardness="hard")
+    assert set(np.unique(hard_lab)) <= {0, 1, 2, 4}
+    assert (hard_lab > 0).any()
+    assert not np.array_equal(simple_lab, hard_lab)
+    # weaker contrast: enhancing-vs-background intensity gap shrinks
+    def gap(img, lab):
+        bg = img[..., 3][(lab == 0) & (img[..., 3] != 0)].mean()
+        et = img[..., 3][lab == 4].mean()
+        return abs(et - bg)
+    if (simple_lab == 4).any() and (hard_lab == 4).any():
+        assert gap(hard_img, hard_lab) < gap(simple_img, simple_lab)

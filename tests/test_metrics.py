@@ -81,3 +81,33 @@ def test_cal_hausdorff_triplet():
     a[6:9, 6:9, 6:9] = 3
     out = metrics.cal_hausdorff(a, a)
     assert out == [0.0, 0.0, 0.0]
+
+
+def test_cal_hausdorff_batched_call_shape_quirk():
+    """The reference passes (1, D, H, W) masks to medpy
+    (predict_simple.py:393,408); the 4-D cross-footprint erosion along the
+    size-1 batch axis degenerates 'surfaces' to the full masks, so the
+    reference's HD95 is the pooled percentile of ALL-voxel distances.
+    cal_hausdorff must reproduce that by default and the corrected 3-D
+    surface metric on request — the two must differ on overlapping masks."""
+    from scipy import ndimage as ndi
+
+    o = np.zeros((24, 24, 24), np.int32)
+    t = np.zeros((24, 24, 24), np.int32)
+    o[4:14, 4:14, 4:14] = 1
+    t[7:19, 5:15, 4:14] = 1
+
+    def medpy_hd95_4d(a, b):
+        a, b = a[None].astype(bool), b[None].astype(bool)
+        fp = ndi.generate_binary_structure(4, 1)
+        ab = a ^ ndi.binary_erosion(a, structure=fp, iterations=1)
+        bb = b ^ ndi.binary_erosion(b, structure=fp, iterations=1)
+        d1 = ndi.distance_transform_edt(~bb)[ab]
+        d2 = ndi.distance_transform_edt(~ab)[bb]
+        return np.percentile(np.hstack((d1, d2)), 95)
+
+    want_wt = medpy_hd95_4d(o > 0, t > 0)
+    got = metrics.cal_hausdorff(o, t)  # default: reference call shape
+    np.testing.assert_allclose(got[0], want_wt, rtol=1e-9)
+    corrected = metrics.cal_hausdorff(o, t, batched_call_shape=False)
+    assert abs(corrected[0] - got[0]) > 0.1  # quirk is load-bearing
