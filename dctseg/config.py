@@ -117,6 +117,9 @@ class DataConfig:
     prefetch: int = 2
     seed: int = 1000
     synthetic_num_samples: int = 8  # used when root == '' (synthetic data)
+    synthetic_valid_seed_offset: int = 10000  # valid/full synthetic volumes
+    # are generated from disjoint seeds so eval measures generalization, not
+    # recall of the training volumes
     synthetic_hardness: str = "simple"  # 'simple' | 'hard' (multi-focal,
     # irregular lesions; see dctseg/data/synthetic.py)
     cache_dir: str = ""  # preprocessed-volume cache: decode NIfTI once into

@@ -108,8 +108,10 @@ class BraTSDataset:
         bandwidth is the loader bottleneck."""
         name = self.names[idx]
         if self.synthetic:
+            seed = idx + (0 if self.mode == "train"
+                          else self.cfg.synthetic_valid_seed_offset)
             chans, label = synthetic.make_volume_channels(
-                idx, self.cfg.input_shape, len(self.cfg.modalities),
+                seed, self.cfg.input_shape, len(self.cfg.modalities),
                 hardness=self.cfg.synthetic_hardness)
             return list(chans), label, "", np.eye(4, dtype=np.float32), None
         if self.cfg.cache_dir:

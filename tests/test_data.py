@@ -294,3 +294,12 @@ def test_synthetic_hardness_modes():
         return abs(et - bg)
     if (simple_lab == 4).any() and (hard_lab == 4).any():
         assert gap(hard_img, hard_lab) < gap(simple_img, simple_lab)
+
+
+def test_synthetic_valid_split_disjoint_from_train():
+    cfg = DataConfig(synthetic_num_samples=1)
+    tr = BraTSDataset(mode="train", cfg=cfg)
+    va = BraTSDataset(mode="valid", cfg=cfg)
+    t_raw = tr._load_raw(0)[1]
+    v_raw = va._load_raw(0)[1]
+    assert not np.array_equal(np.asarray(t_raw), np.asarray(v_raw))
