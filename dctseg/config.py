@@ -147,6 +147,9 @@ class TrainConfig:
     log_every: int = 1
     # number of data-parallel devices; None -> all local devices
     num_devices: Optional[int] = None
+    spatial_shards: int = 1  # 2-D (data, space) mesh: shard each sample's D
+    # spatial axis over this many devices (GSPMD conv halo exchange); the
+    # reference has no model parallelism (SURVEY.md §2.9b) — TPU headroom
 
 
 @dataclasses.dataclass(frozen=True)

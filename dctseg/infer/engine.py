@@ -43,20 +43,53 @@ class Predictor:
 
     ``microbatch`` caps the per-call forward batch (the TTA/tiling engines
     batch 8 variants; fp32 at B=8 exceeds a 16GB chip — pass microbatch=4
-    to split, at the cost of one extra executable)."""
+    to split, at the cost of one extra executable).
 
-    def __init__(self, model, params, microbatch: Optional[int] = None):
+    ``mesh`` enables multi-chip inference (TPU headroom beyond the
+    reference's single-process ``DataParallel`` eval, test_simple.py:76):
+    the forward batch shards over the mesh's ``data`` axis (the 8 TTA/tiling
+    variants fan out one per chip) and, on a 2-D mesh, each volume's D
+    spatial axis shards over ``space`` (GSPMD conv halo exchange), dropping
+    per-chip activation memory by the space factor."""
+
+    def __init__(self, model, params, microbatch: Optional[int] = None,
+                 mesh=None):
         self.model = model
         self.params = params
         self.microbatch = microbatch
-        self._fwd = jax.jit(
-            lambda p, x: self.model.apply(p, x, train=False)[0])
+        self.mesh = mesh
+        self._fwd_cache = {}
+        self._fwd = self._make_fwd(shard_batch_axis=False)
+
+    def _make_fwd(self, shard_batch_axis: bool) -> Callable:
+        if self.mesh is None:
+            return jax.jit(
+                lambda p, x: self.model.apply(p, x, train=False)[0])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dctseg.parallel.mesh import DATA_AXIS, SPACE_AXIS, replicated
+        spec = P(DATA_AXIS if shard_batch_axis else None,
+                 SPACE_AXIS if SPACE_AXIS in self.mesh.axis_names else None)
+        bs = NamedSharding(self.mesh, spec)
+        return jax.jit(lambda p, x: self.model.apply(p, x, train=False)[0],
+                       in_shardings=(replicated(self.mesh), bs),
+                       out_shardings=bs)
+
+    def _batched_fwd(self, b: int) -> Callable:
+        """Forward specialized to whether batch b can shard over `data`."""
+        if self.mesh is None:
+            return self._fwd
+        from dctseg.parallel.mesh import data_size
+        shard_b = data_size(self.mesh) > 1 and b % data_size(self.mesh) == 0
+        if shard_b not in self._fwd_cache:
+            self._fwd_cache[shard_b] = self._make_fwd(shard_b)
+        return self._fwd_cache[shard_b]
 
     def _forward(self, params, xs):
         mb = self.microbatch
         if mb is None or xs.shape[0] <= mb:
-            return self._fwd(params, xs)
-        outs = [self._fwd(params, xs[i:i + mb])
+            return self._batched_fwd(xs.shape[0])(params, xs)
+        outs = [self._batched_fwd(min(mb, xs.shape[0] - i))(
+                    params, xs[i:i + mb])
                 for i in range(0, xs.shape[0], mb)]
         return jnp.concatenate(outs, axis=0)
 
@@ -66,7 +99,7 @@ class Predictor:
 
     def seg_probs(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, D, H, W, M) -> (B, D, H, W, C) decoder softmax probs."""
-        return self._fwd(self.params, x)
+        return self._batched_fwd(x.shape[0])(self.params, x)
 
     # ---- flip TTA (predict_simple.py:333-349) ----
 

@@ -28,8 +28,8 @@ from dctseg.data.brats import BraTSDataset
 from dctseg.data.pipeline import PrefetchLoader
 from dctseg.losses import CRITERIA, total_loss
 from dctseg.models.clswiseformer import ClsWiseFormer, build_model
-from dctseg.parallel.mesh import (batch_sharding, make_mesh, replicated,
-                                  shard_batch)
+from dctseg.parallel.mesh import (batch_sharding, data_size, make_mesh,
+                                  replicated, shard_batch)
 from dctseg.train.checkpoint import Checkpointer, should_save
 from dctseg.train.optim import make_optimizer
 
@@ -85,8 +85,10 @@ class Trainer:
         self.cfg = cfg
         self.model = build_model(cfg.model)
         self.mesh = mesh if mesh is not None else make_mesh(
-            cfg.train.num_devices)
-        self.num_devices = self.mesh.devices.size
+            cfg.train.num_devices, spatial=cfg.train.spatial_shards)
+        # batch scales with DATA shards only; a 2-D mesh's `space` axis
+        # shards each sample's D dimension instead (halo-exchanged convs)
+        self.num_devices = data_size(self.mesh)
 
         self.dataset = dataset if dataset is not None else BraTSDataset(
             list_file=(cfg.data.root and

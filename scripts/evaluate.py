@@ -54,6 +54,10 @@ def parse_args(argv=None):
                    help="fp32 compute (default bf16: the fp32 B=8 batched "
                         "forward exceeds 16GB HBM on v5e)")
     p.add_argument("--pallas-attention", action="store_true")
+    p.add_argument("--spatial-shards", type=int, default=1,
+                   help="multi-chip eval: shard each volume's D axis over "
+                        "this many devices; TTA/tiling variants also fan "
+                        "out over remaining devices (data axis)")
     p.add_argument("--random-params", action="store_true",
                    help="skip checkpoint loading (smoke runs)")
     p.add_argument("--num-samples", type=int, default=None,
@@ -128,8 +132,13 @@ def main(argv=None):
             params = ckpt.restore_params(epochs[0], abstract)
             log.info("loaded checkpoint epoch %s", epochs[0])
 
+    mesh = None
+    if a.spatial_shards > 1 or jax.device_count() > 1:
+        from dctseg.parallel.mesh import make_mesh
+        mesh = make_mesh(spatial=a.spatial_shards)
+        log.info("multi-chip eval mesh: %s", dict(mesh.shape))
     predictor = Predictor(model, params,
-                          microbatch=4 if a.fp32 else None)
+                          microbatch=4 if a.fp32 else None, mesh=mesh)
     n_params = sum(int(x.size) for x in jax.tree.leaves(params))
     log.info("sum===== %d", n_params)
 

@@ -49,6 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--num-devices", type=int, default=None)
+    p.add_argument("--spatial-shards", type=int, default=1,
+                   help="shard each sample's D spatial axis over this many "
+                        "devices (2-D data x space mesh; conv halos via "
+                        "GSPMD)")
     # model
     p.add_argument("--img-dim", type=int, default=128)
     p.add_argument("--base-channels", type=int, default=16)
@@ -88,7 +92,8 @@ def build_config(a):
         amp_lr_restart_epoch=(249 if a.amp and not a.no_amp_lr_quirk
                               else None),
         resume=a.resume, checkpoint_dir=a.checkpoint_dir,
-        experiment=a.experiment, num_devices=a.num_devices)
+        experiment=a.experiment, num_devices=a.num_devices,
+        spatial_shards=a.spatial_shards)
     return Config(model=model, data=data, train=train)
 
 

@@ -130,3 +130,21 @@ def test_validate_single_strategy(tiny_predictor):
     loader = PrefetchLoader(ds, batch_size=1, shuffle=False, num_workers=1)
     out = validate_softmax(loader, pred, strategy="single", use_hd95=False)
     assert np.isfinite(out["wt"])
+
+
+def test_mesh_sharded_inference_matches_unsharded(tiny_predictor):
+    """Multi-chip eval: a (data=2, space=4) mesh Predictor must produce the
+    single-device result — TTA's 8 variants shard over `data`, each volume's
+    D axis shards over `space` (GSPMD conv halos)."""
+    from dctseg.parallel.mesh import make_mesh
+
+    pred, x = tiny_predictor
+    mesh = make_mesh(8, spatial=4)
+    assert dict(mesh.shape) == {"data": 2, "space": 4}
+    sharded = Predictor(pred.model, pred.params, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded.seg_probs(x)),
+                               np.asarray(pred.seg_probs(x)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.tta_probs(x)),
+                               np.asarray(pred.tta_probs(x)),
+                               rtol=1e-5, atol=1e-6)

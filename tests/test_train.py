@@ -194,3 +194,25 @@ def test_train_cli_build_config():
     assert cfg.train.end_epoch == 7 and cfg.train.lr == 3e-4
     a2 = train_mod.parse_args(["--amp", "--no-amp-lr-quirk"])
     assert train_mod.build_config(a2).train.amp_lr_restart_epoch is None
+
+
+def test_spatial_sharding_matches_data_parallel(tmp_path):
+    """2-D (data=2, space=4) mesh: each sample's D axis is sharded over 4
+    devices (GSPMD conv halo exchange).  Same global batch + params as the
+    pure-DP run must give the same loss, and params stay replicated."""
+    t_dp = _tiny_trainer(tmp_path / "dp", end_epoch=1, num_devices=2,
+                         samples=2)
+    t_sp = _tiny_trainer(tmp_path / "sp", end_epoch=1, num_devices=8,
+                         samples=2, spatial_shards=4)
+    assert t_sp.mesh.shape == {"data": 2, "space": 4}
+    assert t_sp.global_batch == 2  # batch scales with data shards only
+    t_dp.init_state()
+    t_sp.init_state()
+    t_sp.state = t_sp.state._replace(params=jax.device_put(
+        jax.tree.map(np.asarray, t_dp.state.params),
+        jax.tree.leaves(t_sp.state.params)[0].sharding))
+    m_dp = t_dp.train_epoch(0)
+    m_sp = t_sp.train_epoch(0)
+    np.testing.assert_allclose(m_sp["loss"], m_dp["loss"], rtol=1e-4)
+    leaf = jax.tree.leaves(t_sp.state.params)[0]
+    assert leaf.sharding.is_fully_replicated
