@@ -81,6 +81,10 @@ class ModelConfig:
     # weight-transformed convs, ~2.7x faster full-res convs on TPU v5e; see
     # dctseg/ops/s2d.py and docs/PERF.md).  Checkpoint-compatible both ways.
     s2d_fullres: bool = True
+    # Same strategy for the half-resolution stages (64^3 x 32ch at full
+    # size): encoder en2 blocks + down2, decoder deup3 + deblock3, and the
+    # edge-decouple conv_64_to_32 run on the s2d view.
+    s2d_halfres: bool = True
 
     @property
     def geometry(self) -> dict:

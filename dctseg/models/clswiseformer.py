@@ -40,7 +40,7 @@ from dctseg.models.attention import (FusionClsWiseTransformer,
 from dctseg.models.layers import Conv3d, InstanceNormAct
 from dctseg.models.positional import PositionalEncoding
 from dctseg.models.supervise import SuperviseHead
-from dctseg.models.unet import Decoder, UnetEncoder
+from dctseg.models.unet import Decoder, S2DConv3d, UnetEncoder
 from dctseg.ops.patchify import patchify, unpatchify
 from dctseg.ops.routing import scatter_update, topk_select
 
@@ -71,9 +71,17 @@ class ClsWiseFormer(nn.Module):
 
         self.unet = UnetEncoder(base_channels=cfg.base_channels,
                                 init_dropout=cfg.init_conv_dropout, dtype=dt,
-                                remat=cfg.remat, s2d=cfg.s2d_fullres)
-        # edge decouple (cls_wise_former.py:273, 284-300)
-        self.conv_64_to_32 = Conv3d(cfg.base_channels * 2, stride=2, dtype=dt)
+                                remat=cfg.remat, s2d=cfg.s2d_fullres,
+                                s2d_half=cfg.s2d_halfres)
+        # edge decouple (cls_wise_former.py:273, 284-300); with s2d_halfres
+        # the half-res skip arrives in the s2d view, so the stride-2 conv
+        # runs there too (same params, down_kernel transform)
+        self.conv_64_to_32 = (
+            S2DConv3d(cfg.base_channels * 2, stride=2, dtype=dt,
+                      name="conv_64_to_32")
+            if cfg.s2d_halfres else
+            Conv3d(cfg.base_channels * 2, stride=2, dtype=dt,
+                   name="conv_64_to_32"))
         self.conv_mid = {r: Conv3d(g["edge_ch"], dtype=dt,
                                    name=f"conv_mid_fea_{r}") for r in REGIONS}
         self.act_mid = {r: InstanceNormAct(eps=cfg.norm_eps,
@@ -123,7 +131,7 @@ class ClsWiseFormer(nn.Module):
                                  name="sum_fusion")
         self.decoder = Decoder(g["bottleneck_ch"], cfg.num_classes, dtype=dt,
                                remat=cfg.remat, s2d=cfg.s2d_fullres,
-                               name="decoder")
+                               s2d_half=cfg.s2d_halfres, name="decoder")
 
     def _route(self, tokens: jnp.ndarray, query: jnp.ndarray,
                class_token: jnp.ndarray, pe: PositionalEncoding,

@@ -179,6 +179,8 @@ class UnetEncoder(nn.Module):
     s2d: bool = True     # run the full-res stage space-to-depth (x1_1 is
                          # then returned in the s2d view; the decoder's
                          # matching flag consumes it)
+    s2d_half: bool = True  # likewise for the half-res stage (x2_1 returned
+                           # in the s2d view); independent of `s2d`
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -214,9 +216,18 @@ class UnetEncoder(nn.Module):
                        name="down1")(x1_1)
         EnBlock = nn.remat(_EnBlock) if self.remat else _EnBlock
 
-        x2_1 = EnBlock(b0 * 2, dtype=self.dtype, name="en2_a")(x)
-        x2_1 = EnBlock(b0 * 2, dtype=self.dtype, name="en2_b")(x2_1)
-        x = Conv3d(b0 * 4, stride=2, dtype=self.dtype, name="down2")(x2_1)
+        if self.s2d_half:
+            EnBlockH = nn.remat(_EnBlockS2D) if self.remat else _EnBlockS2D
+            x = s2dops.space_to_depth(x)
+            x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, name="en2_a")(x)
+            x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, name="en2_b")(x2_1)
+            x = S2DConv3d(b0 * 4, stride=2, dtype=self.dtype,
+                          name="down2")(x2_1)
+        else:
+            x2_1 = EnBlock(b0 * 2, dtype=self.dtype, name="en2_a")(x)
+            x2_1 = EnBlock(b0 * 2, dtype=self.dtype, name="en2_b")(x2_1)
+            x = Conv3d(b0 * 4, stride=2, dtype=self.dtype,
+                       name="down2")(x2_1)
 
         x3_1 = EnBlock(b0 * 4, dtype=self.dtype, name="en3_a")(x)
         x3_1 = EnBlock(b0 * 4, dtype=self.dtype, name="en3_b")(x3_1)
@@ -281,6 +292,7 @@ class Decoder(nn.Module):
     remat: bool = True
     s2d: bool = True     # full-res stage on the s2d view; x1_1 must arrive
                          # in the s2d view (UnetEncoder(s2d=True))
+    s2d_half: bool = True  # half-res stage likewise; x2_1 in the s2d view
 
     @nn.compact
     def __call__(self, x1_1, x2_1, x3_1, x):
@@ -295,9 +307,17 @@ class Decoder(nn.Module):
         y4 = EnBlock2(e // 4, dtype=self.dtype, name="deblock4")(y4)
         y4 = EnBlock2(e // 4, dtype=self.dtype, name="deblock4_1")(y4)
 
-        y3 = DeUpCat(e // 8, dtype=self.dtype, name="deup3")(y4, x2_1)
-        y3 = EnBlock2(e // 8, dtype=self.dtype, name="deblock3")(y3)
-        y3 = EnBlock2(e // 8, dtype=self.dtype, name="deblock3_1")(y3)
+        if self.s2d_half:
+            Block2H = nn.remat(_EnBlock2S2D) if self.remat else _EnBlock2S2D
+            y3 = DeUpCatS2D(e // 8, dtype=self.dtype, name="deup3")(y4, x2_1)
+            y3 = Block2H(e // 8, dtype=self.dtype, name="deblock3")(y3)
+            y3 = Block2H(e // 8, dtype=self.dtype, name="deblock3_1")(y3)
+            # back to the plain grid: deup2's 1x1 + upsample read fine chans
+            y3 = s2dops.depth_to_space(y3)
+        else:
+            y3 = DeUpCat(e // 8, dtype=self.dtype, name="deup3")(y4, x2_1)
+            y3 = EnBlock2(e // 8, dtype=self.dtype, name="deblock3")(y3)
+            y3 = EnBlock2(e // 8, dtype=self.dtype, name="deblock3_1")(y3)
 
         if self.s2d:
             Block2 = nn.remat(_EnBlock2S2D) if self.remat else _EnBlock2S2D
@@ -331,15 +351,17 @@ class PlainUnet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
     s2d: bool = True
+    s2d_half: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = x.astype(self.dtype)
         enc = UnetEncoder(base_channels=self.base_channels,
                           init_dropout=self.init_dropout, dtype=self.dtype,
-                          remat=self.remat, s2d=self.s2d, name="unet")
+                          remat=self.remat, s2d=self.s2d,
+                          s2d_half=self.s2d_half, name="unet")
         x1_1, x2_1, x3_1, bottleneck = enc(x, train=train)
         dec = Decoder(self.base_channels * 16, self.num_classes,
                       dtype=self.dtype, remat=self.remat, s2d=self.s2d,
-                      name="decoder")
+                      s2d_half=self.s2d_half, name="decoder")
         return dec(x1_1, x2_1, x3_1, bottleneck)

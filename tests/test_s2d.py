@@ -96,14 +96,20 @@ def test_tile_bias_layout():
     np.testing.assert_array_equal(np.asarray(t[3:6]), [1.0, 2.0, 3.0])
 
 
-def test_model_s2d_equivalence():
-    """s2d_fullres is a pure execution strategy: identical parameter tree
-    (checkpoints interchangeable) and matching forward outputs."""
+@pytest.mark.parametrize("overrides", [
+    dict(s2d_fullres=True, s2d_halfres=False),
+    dict(s2d_fullres=False, s2d_halfres=True),
+    dict(s2d_fullres=True, s2d_halfres=True),
+])
+def test_model_s2d_equivalence(overrides):
+    """s2d_fullres/s2d_halfres are pure execution strategies: identical
+    parameter tree (checkpoints interchangeable) and matching forward
+    outputs, in every combination."""
     from dctseg.config import tiny_model_config
     from dctseg.models.clswiseformer import build_model
 
-    cfg_a = tiny_model_config(s2d_fullres=False)
-    cfg_b = tiny_model_config(s2d_fullres=True)
+    cfg_a = tiny_model_config(s2d_fullres=False, s2d_halfres=False)
+    cfg_b = tiny_model_config(**overrides)
     ma, mb = build_model(cfg_a), build_model(cfg_b)
     x = jax.random.normal(KEY, (1, 32, 32, 32, 4))
     pa = ma.init(jax.random.PRNGKey(0), x, train=False)
@@ -127,8 +133,8 @@ def test_model_s2d_train_step_gradients():
     from dctseg.config import tiny_model_config
     from dctseg.models.clswiseformer import build_model
 
-    cfg_a = tiny_model_config(s2d_fullres=False)
-    cfg_b = tiny_model_config(s2d_fullres=True)
+    cfg_a = tiny_model_config(s2d_fullres=False, s2d_halfres=False)
+    cfg_b = tiny_model_config(s2d_fullres=True, s2d_halfres=True)
     ma, mb = build_model(cfg_a), build_model(cfg_b)
     x = jax.random.normal(KEY, (1, 32, 32, 32, 4))
     p = ma.init(jax.random.PRNGKey(0), x, train=False)
