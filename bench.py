@@ -45,13 +45,22 @@ def main():
     y = predictor.tiled_probs(vols[0])
     float(jnp.sum(y))
 
-    # steady-state: distinct volumes; a scalar host fetch per iteration
-    # guarantees full execution (block_until_ready alone has been observed
-    # to return early under the axon remote-execution relay)
+    # steady-state: distinct volumes, pipelined dispatch.  jax dispatch is
+    # async, so keeping a small in-flight window lets the host enqueue
+    # volume i+1 while the chip runs volume i (the eval loop in
+    # dctseg/infer/validate.py pipelines the same way).  A scalar host
+    # fetch per volume guarantees full execution (block_until_ready alone
+    # has been observed to return early under the axon remote-execution
+    # relay).
     n_iters = 10
+    depth = 2
+    inflight = []
     t0 = time.perf_counter()
     for i in range(n_iters):
-        y = predictor.tiled_probs(vols[i % len(vols)])
+        inflight.append(predictor.tiled_probs(vols[i % len(vols)]))
+        if len(inflight) > depth:
+            float(inflight.pop(0)[0, 0, 0, 0, 0])
+    for y in inflight:
         float(y[0, 0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / n_iters
     vps = 1.0 / dt

@@ -81,7 +81,7 @@ class S2DConv3d(nn.Module):
         if self.stride == 2:
             y = s2dops.conv3d_s2d(x8, s2dops.down_kernel(w), padding=(1, 0))
             return y + b
-        y = s2dops.conv3d_s2d(x8, s2dops.conv_kernel(w), padding=(1, 1))
+        y = s2dops.conv3x3_s2d(x8, w)
         return y + s2dops.tile_bias(b)
 
 

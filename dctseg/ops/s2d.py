@@ -33,6 +33,15 @@ import numpy as np
 B = 2          # block size (fixed: the model's full-res stages are 2x finer)
 B3 = B ** 3
 
+# Execution strategy for the 3^3 stride-1 convs on the s2d view:
+#   "dense" — conv_kernel's (3,3,3,8C,8C) coarse conv (1/8-dense weights,
+#             8x logical FLOPs, measured 137 TF/s raw on v5e).
+#   "fine"  — depth_to_space + fine_conv_kernel's (4,4,4,C,8C) stride-2
+#             conv (64/27 = 2.37x logical FLOPs; contraction 4^3*C).
+# Module-level so benchmarks/tests can flip it; the default is chosen by
+# measurement on the real chip (scripts/micro_conv_bench.py, docs/PERF.md).
+CONV3_STRATEGY = "dense"
+
 
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
     """(N, D, H, W, C) -> (N, D/2, H/2, W/2, 8C), offset-major channels."""
@@ -75,6 +84,36 @@ def conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
     #                                S[c,l,r,n] w[k,m,n,d,e]
     t = jnp.einsum("aiok,bjpm,clrn,kmnde->abcijldopre", s, s, s, w)
     return t.reshape(kk, kk, kk, B3 * ci, B3 * co)
+
+
+def fine_conv_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,3,Ci,Co) stride-1 SAME fine conv -> (4,4,4,Ci,8Co) strided kernel.
+
+    The same logical conv as :func:`conv_kernel`, expressed as a 4^3
+    stride-2 conv on the FINE input producing the s2d view directly:
+    output coarse voxel Y, offset o reads fine window 2Y-1+p (p in 0..3,
+    stride 2, padding (1,2)); tap W4[p, ci, o*Co+co] = W[p-o, ci, co]
+    (zero outside 0 <= p-o <= 2).  Contraction is 4^3*Ci and output 8*Co —
+    for Ci=16 both MXU-aligned at ~2.4x logical FLOPs (vs dense s2d's 8x).
+    """
+    kk, _, _, ci, co = w.shape
+    assert kk == 3
+    s = np.zeros((4, B, kk), np.float32)     # S[p, o, k]: k = p - o
+    for o in range(B):
+        for k in range(kk):
+            s[o + k, o, k] = 1.0
+    s = jnp.asarray(s)
+    t = jnp.einsum("aok,bpm,cqn,kmnde->abcdopqe", s, s, s, w)
+    return t.reshape(4, 4, 4, ci, B3 * co)
+
+
+def conv3d_fine_s2dout(x: jnp.ndarray, w4: jnp.ndarray) -> jnp.ndarray:
+    """Apply :func:`fine_conv_kernel`'s strided kernel: fine (N,D,H,W,Ci)
+    -> s2d view (N,D/2,H/2,W/2,8Co)."""
+    return jax.lax.conv_general_dilated(
+        x, w4.astype(x.dtype), (2, 2, 2), [(1, 2)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
 
 
 def down_kernel(w: jnp.ndarray) -> jnp.ndarray:
@@ -162,3 +201,11 @@ def conv3d_s2d(x: jnp.ndarray, w8: jnp.ndarray,
         x, w8.astype(x.dtype), (stride,) * 3, (padding,) * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=x.dtype)
+
+
+def conv3x3_s2d(x8: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """The 3^3 stride-1 SAME conv on the s2d view, via the strategy selected
+    by :data:`CONV3_STRATEGY`.  ``w`` is the FINE (3,3,3,Ci,Co) kernel."""
+    if CONV3_STRATEGY == "fine":
+        return conv3d_fine_s2dout(depth_to_space(x8), fine_conv_kernel(w))
+    return conv3d_s2d(x8, conv_kernel(w), padding=(1, 1))

@@ -43,6 +43,33 @@ def test_conv_kernel_exact(ci, co):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("ci,co", [(3, 5), (16, 16)])
+def test_fine_conv_kernel_exact(ci, co):
+    """The 4^3 stride-2 'fine feed' strategy: same logical conv, output in
+    the s2d view directly."""
+    x = jax.random.normal(KEY, (2, 8, 8, 8, ci))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, ci, co)) * 0.2
+    ref = s2d.space_to_depth(_conv(x, w))
+    got = s2d.conv3d_fine_s2dout(x, s2d.fine_conv_kernel(w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_conv3x3_strategy_dispatch():
+    """conv3x3_s2d under either CONV3_STRATEGY matches the dense path."""
+    x8 = s2d.space_to_depth(jax.random.normal(KEY, (1, 8, 8, 8, 3)))
+    w = jax.random.normal(jax.random.PRNGKey(6), (3, 3, 3, 3, 4)) * 0.2
+    ref = s2d.conv3d_s2d(x8, s2d.conv_kernel(w), padding=(1, 1))
+    old = s2d.CONV3_STRATEGY
+    try:
+        for strat in ("dense", "fine"):
+            s2d.CONV3_STRATEGY = strat
+            np.testing.assert_allclose(np.asarray(s2d.conv3x3_s2d(x8, w)),
+                                       np.asarray(ref), atol=1e-5, rtol=1e-5)
+    finally:
+        s2d.CONV3_STRATEGY = old
+
+
 def test_down_kernel_exact():
     ci, co = 6, 4
     x = jax.random.normal(KEY, (2, 8, 8, 8, ci))
