@@ -85,6 +85,11 @@ class ModelConfig:
     # size): encoder en2 blocks + down2, decoder deup3 + deblock3, and the
     # edge-decouple conv_64_to_32 run on the s2d view.
     s2d_halfres: bool = True
+    # Execution strategy for the 3^3 stride-1 convs on the s2d view:
+    # "dense" = (3,3,3,8C,8C) coarse conv (1/8-dense weights, 8x logical
+    # FLOPs); "fine" = depth_to_space + (4,4,4,C,8C) stride-2 conv (2.37x
+    # logical FLOPs).  Chosen by measurement on the chip (docs/PERF.md).
+    conv3_strategy: str = "dense"
 
     @property
     def geometry(self) -> dict:

@@ -72,7 +72,8 @@ class ClsWiseFormer(nn.Module):
         self.unet = UnetEncoder(base_channels=cfg.base_channels,
                                 init_dropout=cfg.init_conv_dropout, dtype=dt,
                                 remat=cfg.remat, s2d=cfg.s2d_fullres,
-                                s2d_half=cfg.s2d_halfres)
+                                s2d_half=cfg.s2d_halfres,
+                                conv3=cfg.conv3_strategy)
         # edge decouple (cls_wise_former.py:273, 284-300); with s2d_halfres
         # the half-res skip arrives in the s2d view, so the stride-2 conv
         # runs there too (same params, down_kernel transform)
@@ -131,7 +132,8 @@ class ClsWiseFormer(nn.Module):
                                  name="sum_fusion")
         self.decoder = Decoder(g["bottleneck_ch"], cfg.num_classes, dtype=dt,
                                remat=cfg.remat, s2d=cfg.s2d_fullres,
-                               s2d_half=cfg.s2d_halfres, name="decoder")
+                               s2d_half=cfg.s2d_halfres,
+                               conv3=cfg.conv3_strategy, name="decoder")
 
     def _route(self, tokens: jnp.ndarray, query: jnp.ndarray,
                class_token: jnp.ndarray, pe: PositionalEncoding,

@@ -65,6 +65,7 @@ class S2DConv3d(nn.Module):
     stride: int = 1
     groups: tuple = ()
     dtype: jnp.dtype = jnp.float32
+    conv3: str = "dense"
 
     @nn.compact
     def __call__(self, x8):
@@ -81,7 +82,7 @@ class S2DConv3d(nn.Module):
         if self.stride == 2:
             y = s2dops.conv3d_s2d(x8, s2dops.down_kernel(w), padding=(1, 0))
             return y + b
-        y = s2dops.conv3x3_s2d(x8, w)
+        y = s2dops.conv3x3_s2d(x8, w, self.conv3)
         return y + s2dops.tile_bias(b)
 
 
@@ -106,15 +107,18 @@ class _EnBlockS2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
+    conv3: str = "dense"
 
     @nn.compact
     def __call__(self, x):
         y = s2dops.instance_norm_s2d(x, self.eps)
         y = nn.relu(y)
-        y = S2DConv3d(self.channels, dtype=self.dtype, name="conv1")(y)
+        y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
+                      name="conv1")(y)
         y = s2dops.instance_norm_s2d(y, self.eps)
         y = nn.relu(y)
-        y = S2DConv3d(self.channels, dtype=self.dtype, name="conv2")(y)
+        y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
+                      name="conv2")(y)
         return y + x
 
 
@@ -123,12 +127,15 @@ class _EnBlock2S2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
+    conv3: str = "dense"
 
     @nn.compact
     def __call__(self, x):
-        y = S2DConv3d(self.channels, dtype=self.dtype, name="conv1")(x)
+        y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
+                      name="conv1")(x)
         y = leaky_relu(s2dops.instance_norm_s2d(y, self.eps))
-        y = S2DConv3d(self.channels, dtype=self.dtype, name="conv2")(y)
+        y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
+                      name="conv2")(y)
         y = leaky_relu(s2dops.instance_norm_s2d(y, self.eps))
         return y + x
 
@@ -181,6 +188,7 @@ class UnetEncoder(nn.Module):
                          # matching flag consumes it)
     s2d_half: bool = True  # likewise for the half-res stage (x2_1 returned
                            # in the s2d view); independent of `s2d`
+    conv3: str = "dense"   # 3^3 conv strategy on s2d views (see ops/s2d.py)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -188,7 +196,8 @@ class UnetEncoder(nn.Module):
         if self.s2d:
             EnBlock = nn.remat(_EnBlockS2D) if self.remat else _EnBlockS2D
             x = s2dops.space_to_depth(x.astype(self.dtype))
-            x = S2DConv3d(b0, dtype=self.dtype, name="init_conv")(x)
+            x = S2DConv3d(b0, dtype=self.dtype, conv3=self.conv3,
+                          name="init_conv")(x)
             # spatial dropout zeroes whole fine channels: reshape so the
             # mask broadcasts over (coarse spatial, block offsets)
             n, d, h, w, cb = x.shape
@@ -197,8 +206,10 @@ class UnetEncoder(nn.Module):
                            broadcast_dims=(1, 2, 3, 4),
                            deterministic=not train)(x)
             x = x.reshape(n, d, h, w, cb)
-            x1_1 = EnBlock(b0, dtype=self.dtype, name="en1_a")(x)
-            x1_1 = EnBlock(b0, dtype=self.dtype, name="en1_b")(x1_1)
+            x1_1 = EnBlock(b0, dtype=self.dtype, conv3=self.conv3,
+                           name="en1_a")(x)
+            x1_1 = EnBlock(b0, dtype=self.dtype, conv3=self.conv3,
+                           name="en1_b")(x1_1)
             x = S2DConv3d(b0 * 2, stride=2, dtype=self.dtype,
                           name="down1")(x1_1)
         else:
@@ -219,8 +230,10 @@ class UnetEncoder(nn.Module):
         if self.s2d_half:
             EnBlockH = nn.remat(_EnBlockS2D) if self.remat else _EnBlockS2D
             x = s2dops.space_to_depth(x)
-            x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, name="en2_a")(x)
-            x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, name="en2_b")(x2_1)
+            x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, conv3=self.conv3,
+                            name="en2_a")(x)
+            x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, conv3=self.conv3,
+                            name="en2_b")(x2_1)
             x = S2DConv3d(b0 * 4, stride=2, dtype=self.dtype,
                           name="down2")(x2_1)
         else:
@@ -293,6 +306,7 @@ class Decoder(nn.Module):
     s2d: bool = True     # full-res stage on the s2d view; x1_1 must arrive
                          # in the s2d view (UnetEncoder(s2d=True))
     s2d_half: bool = True  # half-res stage likewise; x2_1 in the s2d view
+    conv3: str = "dense"   # 3^3 conv strategy on s2d views (see ops/s2d.py)
 
     @nn.compact
     def __call__(self, x1_1, x2_1, x3_1, x):
@@ -310,8 +324,10 @@ class Decoder(nn.Module):
         if self.s2d_half:
             Block2H = nn.remat(_EnBlock2S2D) if self.remat else _EnBlock2S2D
             y3 = DeUpCatS2D(e // 8, dtype=self.dtype, name="deup3")(y4, x2_1)
-            y3 = Block2H(e // 8, dtype=self.dtype, name="deblock3")(y3)
-            y3 = Block2H(e // 8, dtype=self.dtype, name="deblock3_1")(y3)
+            y3 = Block2H(e // 8, dtype=self.dtype, conv3=self.conv3,
+                         name="deblock3")(y3)
+            y3 = Block2H(e // 8, dtype=self.dtype, conv3=self.conv3,
+                         name="deblock3_1")(y3)
             # back to the plain grid: deup2's 1x1 + upsample read fine chans
             y3 = s2dops.depth_to_space(y3)
         else:
@@ -323,8 +339,10 @@ class Decoder(nn.Module):
             Block2 = nn.remat(_EnBlock2S2D) if self.remat else _EnBlock2S2D
             y2 = DeUpCatS2D(e // 16, dtype=self.dtype,
                             name="deup2")(y3, x1_1)
-            y2 = Block2(e // 16, dtype=self.dtype, name="deblock2")(y2)
-            y2 = Block2(e // 16, dtype=self.dtype, name="deblock2_1")(y2)
+            y2 = Block2(e // 16, dtype=self.dtype, conv3=self.conv3,
+                        name="deblock2")(y2)
+            y2 = Block2(e // 16, dtype=self.dtype, conv3=self.conv3,
+                        name="deblock2_1")(y2)
             y = S2DConv3d(self.num_classes, kernel_size=1,
                           dtype=self.dtype, name="endconv")(y2)
             y = s2dops.depth_to_space(y)
@@ -352,6 +370,7 @@ class PlainUnet(nn.Module):
     remat: bool = True
     s2d: bool = True
     s2d_half: bool = True
+    conv3: str = "dense"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -359,9 +378,11 @@ class PlainUnet(nn.Module):
         enc = UnetEncoder(base_channels=self.base_channels,
                           init_dropout=self.init_dropout, dtype=self.dtype,
                           remat=self.remat, s2d=self.s2d,
-                          s2d_half=self.s2d_half, name="unet")
+                          s2d_half=self.s2d_half, conv3=self.conv3,
+                          name="unet")
         x1_1, x2_1, x3_1, bottleneck = enc(x, train=train)
         dec = Decoder(self.base_channels * 16, self.num_classes,
                       dtype=self.dtype, remat=self.remat, s2d=self.s2d,
-                      s2d_half=self.s2d_half, name="decoder")
+                      s2d_half=self.s2d_half, conv3=self.conv3,
+                      name="decoder")
         return dec(x1_1, x2_1, x3_1, bottleneck)

@@ -203,9 +203,16 @@ def conv3d_s2d(x: jnp.ndarray, w8: jnp.ndarray,
         preferred_element_type=x.dtype)
 
 
-def conv3x3_s2d(x8: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """The 3^3 stride-1 SAME conv on the s2d view, via the strategy selected
-    by :data:`CONV3_STRATEGY`.  ``w`` is the FINE (3,3,3,Ci,Co) kernel."""
-    if CONV3_STRATEGY == "fine":
+def conv3x3_s2d(x8: jnp.ndarray, w: jnp.ndarray,
+                strategy: str = None) -> jnp.ndarray:
+    """The 3^3 stride-1 SAME conv on the s2d view.  ``w`` is the FINE
+    (3,3,3,Ci,Co) kernel; ``strategy`` defaults to :data:`CONV3_STRATEGY`.
+
+    "auto" picks per channel width from the v5e measurements in docs/PERF.md:
+    "fine" wins for Ci >= 32 (XLA's strided-conv emitter reaches ~50 TF/s raw
+    there, beating dense's 8x arithmetic), "dense" for narrower inputs."""
+    strategy = strategy or CONV3_STRATEGY
+    ci = w.shape[3]
+    if strategy == "fine" or (strategy == "auto" and ci >= 32):
         return conv3d_fine_s2dout(depth_to_space(x8), fine_conv_kernel(w))
     return conv3d_s2d(x8, conv_kernel(w), padding=(1, 1))

