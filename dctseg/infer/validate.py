@@ -42,6 +42,7 @@ def validate_softmax(
         param_sets: Optional[Sequence] = None,
         stitch_mode: str = "reference",
         postprocess: bool = False,
+        device_metrics: bool = True,
 ) -> Dict[str, float]:
     wt, tc, et = [], [], []
     h_wt, h_tc, h_et = [], [], []
@@ -49,6 +50,11 @@ def validate_softmax(
     runtimes = []
     summary_rows = []  # per-volume rows (predict_simple.py:147-183)
     n_total = len(loader)
+    # Dice/mIoU/HD95 on the accelerator (exact-match with the host
+    # functions; scipy's EDT costs ~4.5 s/volume on this 1-core host).
+    # ``postprocess`` edits labels on host, so it forces the host path.
+    dmetrics = (metrics.DeviceMetrics(use_hd95=use_hd95)
+                if device_metrics and not postprocess else None)
 
     def run(x):
         if strategy == "tta":
@@ -105,10 +111,14 @@ def validate_softmax(
             if (output == 3).sum() < 500:
                 output = np.where(output == 3, 1, output)
 
-        soft = metrics.softmax_output_dice(output, target)
-        miou = metrics.softmax_output_miou(output, target)
-        haus = (metrics.cal_hausdorff(output, target) if use_hd95
-                else [0.0, 0.0, 0.0])
+        if dmetrics is not None:
+            md = dmetrics(out_dev[0], jnp.asarray(target))
+            soft, miou, haus = md["dice"], md["miou"], md["hd95"]
+        else:
+            soft = metrics.softmax_output_dice(output, target)
+            miou = metrics.softmax_output_miou(output, target)
+            haus = (metrics.cal_hausdorff(output, target) if use_hd95
+                    else [0.0, 0.0, 0.0])
         wt.append(soft[0]); tc.append(soft[1]); et.append(soft[2])
         m_wt.append(miou[0]); m_tc.append(miou[1]); m_et.append(miou[2])
         h_wt.append(haus[0]); h_tc.append(haus[1]); h_et.append(haus[2])

@@ -16,7 +16,11 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+
+from dctseg.ops import edt
 
 try:  # scipy is available in this image; guard anyway
     from scipy import ndimage as _ndi
@@ -115,6 +119,105 @@ def hausdorff_distance(test, reference, voxel_spacing=None,
     d1 = _surface_distances(test, reference, voxel_spacing, connectivity)
     d2 = _surface_distances(reference, test, voxel_spacing, connectivity)
     return float(max(d1.max(), d2.max()))
+
+
+class DeviceMetrics:
+    """Dice / mIoU / HD95 computed on the accelerator.
+
+    Numerically IDENTICAL to the host functions above (exact-match tested):
+    Dice/mIoU come from exact integer voxel counts divided on host in
+    float64; HD95 runs the exact-integer squared EDT of dctseg/ops/edt.py on
+    device, extracts the two bracketing order statistics of the pooled
+    surface-distance multiset by integer binary search, and finishes with
+    float64 sqrt + numpy's two-sided _lerp on host.  Motivation: scipy's
+    host EDT costs ~4.5 s per 128^3 volume on this 1-core host — 95% of
+    real-eval time (docs/PERF.md).
+
+    ``batched_call_shape`` mirrors :func:`cal_hausdorff`: the reference
+    passes masks with a leading batch-1 axis and medpy's 4-D erosion then
+    degenerates the "surfaces" to the full masks; False gives the corrected
+    3-D surface-distance HD95.
+    """
+
+    def __init__(self, batched_call_shape: bool = True,
+                 use_hd95: bool = True):
+        self.batched_call_shape = batched_call_shape
+        self.use_hd95 = use_hd95
+        self._phase1 = jax.jit(self._phase1_fn)
+        self._phase2 = jax.jit(self._phase2_fn)
+
+    @staticmethod
+    def _masks(x):
+        return jnp.stack([x > 0, (x == 1) | (x == 3), x == 3])  # (3,D,H,W)
+
+    def _phase1_fn(self, output, target):
+        o = self._masks(output)
+        t = self._masks(target)
+        o_sum = jnp.sum(o, axis=(1, 2, 3))
+        t_sum = jnp.sum(t, axis=(1, 2, 3))
+        inter = jnp.sum(o & t, axis=(1, 2, 3))
+        union = jnp.sum(o | t, axis=(1, 2, 3))
+        size = o[0].size
+        degenerate = ((o_sum == 0) | (o_sum == size)
+                      | (t_sum == 0) | (t_sum == size))
+        counts = jnp.stack([o_sum, t_sum, inter, union])        # (4, 3)
+        if not self.use_hd95:
+            return counts, degenerate, jnp.zeros(3, jnp.int32), None
+        if self.batched_call_shape:
+            ob, tb = o, t          # reference quirk: border == full mask
+        else:
+            ob, tb = edt.surface(o), edt.surface(t)
+        d1 = jnp.where(ob, edt.squared_edt(tb), edt.INF)        # (3,D,H,W)
+        d2 = jnp.where(tb, edt.squared_edt(ob), edt.INF)
+        pooled = jnp.concatenate(
+            [d1.reshape(3, -1), d2.reshape(3, -1)], axis=-1)    # (3, 2N)
+        n = (jnp.sum(ob, (1, 2, 3)) + jnp.sum(tb, (1, 2, 3))).astype(jnp.int32)
+        return counts, degenerate, n, pooled
+
+    # Upper bound on any squared voxel distance for D <= 256 per axis:
+    # 3 * 255^2 + 1; exact in f32 and far below edt.INF.
+    _VMAX = float(3 * 255 ** 2 + 1)
+
+    def _phase2_fn(self, pooled, ks):
+        return edt.masked_order_stats(pooled, ks, self._VMAX)
+
+    def __call__(self, output, target) -> dict:
+        """``output``/``target``: integer label volumes (device or host).
+        Returns {'dice': [wt,tc,et], 'miou': [...], 'hd95': [...]}."""
+        output = jnp.asarray(output)
+        target = jnp.asarray(target)
+        if output.ndim == 4:       # strip an incoming batch-1 axis
+            output, target = output[0], target[0]
+        counts, degenerate, n, pooled = self._phase1(
+            output.astype(jnp.int32), target.astype(jnp.int32))
+        counts = np.asarray(counts, np.float64)
+        degenerate = np.asarray(degenerate)
+        o_sum, t_sum, inter, union = counts
+        eps = 1e-8
+        dice = ((2.0 * inter + eps) / (o_sum + t_sum + eps)).tolist()
+        miou = ((inter + eps) / (union + eps)).tolist()
+        if not self.use_hd95:
+            return {"dice": dice, "miou": miou, "hd95": [0.0, 0.0, 0.0]}
+        n = np.asarray(n, np.int64)
+        # numpy percentile index arithmetic, in float64 as numpy does it
+        idx = 0.95 * (np.maximum(n, 1) - 1).astype(np.float64)
+        k_lo = np.floor(idx).astype(np.int32)
+        k_hi = np.ceil(idx).astype(np.int32)
+        ks = jnp.asarray(np.stack([k_lo, k_hi], axis=-1))       # (3, 2)
+        vs = np.asarray(self._phase2(pooled, ks), np.float64)   # (3, 2)
+        hd = []
+        for c in range(3):
+            if degenerate[c]:
+                hd.append(0.0)
+                continue
+            a, b = np.sqrt(vs[c, 0]), np.sqrt(vs[c, 1])
+            t_frac = idx[c] - k_lo[c]
+            # numpy's _lerp: two-sided form for numerical symmetry
+            val = a + (b - a) * t_frac
+            if t_frac >= 0.5:
+                val = b - (b - a) * (1 - t_frac)
+            hd.append(float(val))
+        return {"dice": dice, "miou": miou, "hd95": hd}
 
 
 def cal_hausdorff(output: np.ndarray, target: np.ndarray,

@@ -1,0 +1,106 @@
+"""Exact Euclidean distance transform on device (TPU-friendly).
+
+Replaces the host-side ``scipy.ndimage.distance_transform_edt`` in the HD95
+pipeline (reference utils/hausdorff.py:106-123 via medpy): on this 1-core
+host the scipy EDT costs ~4.5 s per 128^3 volume — 95% of real-eval time
+(docs/PERF.md).
+
+The transform is separable: with f0 = 0 on foreground / +INF elsewhere,
+three 1-D min-plus passes give the exact squared Euclidean distance
+
+    d^2(x) = min_y (||x - y||^2)  over foreground y.
+
+Each pass computes out[..., i] = min_j (in[..., j] + (i-j)^2) by broadcasting
+against the (D, D) cost matrix and reducing — O(N*D) bandwidth after XLA
+fuses the reduce, trivially vectorizable, no data-dependent control flow.
+The classical Felzenszwalb lower-envelope scan is O(N) but inherently
+sequential with data-dependent rewinds; at D <= 256 the brute-force min is
+faster on the VPU than a lax.scan chain.
+
+Exactness: all squared distances are integers <= 3*(D-1)^2 < 2^24, and every
+intermediate is an integer below 2^24, so float32 arithmetic is EXACT and
+results match scipy's float64 EDT bit-for-bit after a float64 sqrt on host.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+# Sentinel for "no foreground": exact in f32 (< 2^24) and, after three
+# passes each adding <= 3*(D-1)^2 <= 195075 (D<=256), still exact and
+# larger than any true squared distance.
+INF = jnp.float32(1.0e7)
+
+
+def _minplus_pass(f: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """out[..., i] = min_j (f[..., j] + (i - j)^2) along ``axis``."""
+    f = jnp.moveaxis(f, axis, -1)
+    d = f.shape[-1]
+    i = jnp.arange(d, dtype=jnp.float32)
+    cost = jnp.square(i[:, None] - i[None, :])          # (D_out, D_in)
+    out = jnp.min(f[..., None, :] + cost, axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def squared_edt(mask: jnp.ndarray) -> jnp.ndarray:
+    """Exact squared Euclidean distance to the nearest True voxel.
+
+    ``mask``: bool array, transform runs over the LAST THREE axes (leading
+    axes are batch).  All-False masks return :data:`INF` everywhere.
+    """
+    f = jnp.where(mask, jnp.float32(0), INF)
+    for axis in (-3, -2, -1):
+        f = _minplus_pass(f, axis)
+    return f
+
+
+def erode_cross(mask: jnp.ndarray) -> jnp.ndarray:
+    """Binary erosion with the 3-D cross (6-connectivity) footprint over the
+    last three axes, matching ``scipy.ndimage.binary_erosion`` with
+    ``generate_binary_structure(3, 1)`` and border_value=0 (array-edge
+    voxels erode away)."""
+    out = mask
+    nd = mask.ndim
+    for axis in (nd - 3, nd - 2, nd - 1):
+        pad = [(1, 1) if a == axis else (0, 0) for a in range(nd)]
+        p = jnp.pad(mask, pad, constant_values=False)
+        d = mask.shape[axis]
+        lo = jax.lax.slice_in_dim(p, 0, d, axis=axis)
+        hi = jax.lax.slice_in_dim(p, 2, d + 2, axis=axis)
+        out = out & lo & hi
+    return out
+
+
+def surface(mask: jnp.ndarray) -> jnp.ndarray:
+    """Surface voxels: mask minus its cross-erosion (medpy's border
+    extraction in ``__surface_distances``)."""
+    return mask & ~erode_cross(mask)
+
+
+def masked_order_stats(values: jnp.ndarray, ks: jnp.ndarray,
+                       vmax: float) -> jnp.ndarray:
+    """k-th smallest (0-based) of the finite entries of ``values``.
+
+    ``values``: (..., N) float32 where masked-out entries are >= vmax;
+    ``ks``: (..., K) int32 ranks, broadcast over leading axes.  Integer
+    binary search over [0, vmax] — exact for integer-valued distances —
+    avoiding a full device sort.  Returns (..., K) float32.
+    """
+    lo = jnp.zeros(ks.shape, jnp.float32)
+    hi = jnp.full(ks.shape, jnp.float32(vmax))
+    iters = int(math.ceil(math.log2(float(vmax) + 2.0)))
+    v = values[..., None, :]                            # (..., 1, N)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = jnp.floor((lo + hi) / 2)
+        # count of finite values <= mid, per (..., K)
+        cnt = jnp.sum(v <= mid[..., None], axis=-1).astype(jnp.int32)
+        ok = cnt >= ks + 1                              # k-th smallest <= mid
+        return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return hi

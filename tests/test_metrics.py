@@ -1,5 +1,6 @@
 """Metric tests: dice/mIoU composites and the scipy-based HD95."""
 
+import pytest
 import numpy as np
 
 from dctseg import metrics
@@ -111,3 +112,69 @@ def test_cal_hausdorff_batched_call_shape_quirk():
     np.testing.assert_allclose(got[0], want_wt, rtol=1e-9)
     corrected = metrics.cal_hausdorff(o, t, batched_call_shape=False)
     assert abs(corrected[0] - got[0]) > 0.1  # quirk is load-bearing
+
+
+def _blobby_labels(seed, shape=(24, 24, 24)):
+    r = np.random.default_rng(seed)
+    arr = np.zeros(shape, np.int32)
+    zz, yy, xx = np.ogrid[:shape[0], :shape[1], :shape[2]]
+    for lab in (1, 2, 3):
+        c = r.integers(4, 20, 3)
+        rad = r.integers(2, 6)
+        arr[(zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2
+            < rad ** 2] = lab
+    return arr
+
+
+def test_squared_edt_exact_vs_scipy():
+    """Device EDT is the exact integer squared Euclidean distance."""
+    from scipy import ndimage as ndi
+    import jax.numpy as jnp
+    from dctseg.ops import edt
+
+    rng = np.random.default_rng(0)
+    for shape in [(16, 16, 16), (13, 17, 9)]:
+        m = rng.random(shape) < 0.1
+        ref = np.round(ndi.distance_transform_edt(~m) ** 2)
+        got = np.asarray(edt.squared_edt(jnp.asarray(m)))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_erode_cross_exact_vs_scipy():
+    from scipy import ndimage as ndi
+    import jax.numpy as jnp
+    from dctseg.ops import edt
+
+    rng = np.random.default_rng(1)
+    for shape in [(16, 16, 16), (13, 17, 9)]:
+        m = rng.random(shape) < 0.6
+        st = ndi.generate_binary_structure(3, 1)
+        ref = ndi.binary_erosion(m, structure=st)
+        got = np.asarray(edt.erode_cross(jnp.asarray(m)))
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("bcs", [True, False])
+def test_device_metrics_exact_vs_host(bcs):
+    """DeviceMetrics must match the host Dice/mIoU/HD95 EXACTLY (zero
+    tolerance): same integer counts, and HD95 finished in float64 from the
+    exact integer squared order statistics."""
+    dm = metrics.DeviceMetrics(batched_call_shape=bcs)
+    for seed in range(4):
+        out = _blobby_labels(seed)
+        tgt = _blobby_labels(seed + 100)
+        d = dm(out, tgt)
+        assert d["dice"] == metrics.softmax_output_dice(out, tgt)
+        assert d["miou"] == metrics.softmax_output_miou(out, tgt)
+        assert d["hd95"] == metrics.cal_hausdorff(
+            out, tgt, batched_call_shape=bcs)
+
+
+def test_device_metrics_degenerate_and_batch_axis():
+    dm = metrics.DeviceMetrics()
+    z = np.zeros((8, 8, 8), np.int32)
+    assert dm(z, z)["hd95"] == [0.0, 0.0, 0.0]
+    out = _blobby_labels(7)
+    tgt = _blobby_labels(8)
+    # a leading batch-1 axis is stripped (validate passes (1, D, H, W))
+    assert dm(out[None], tgt[None])["hd95"] == dm(out, tgt)["hd95"]
