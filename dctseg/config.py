@@ -133,6 +133,13 @@ class DataConfig:
     # irregular lesions; see dctseg/data/synthetic.py)
     cache_dir: str = ""  # preprocessed-volume cache: decode NIfTI once into
     # mmap-able .npy + cached z-score stats; epoch 2+ reads only crop pages
+    # Wire dtype for image volumes handed to the device.  "bfloat16" halves
+    # host->device bytes — measured 25 MB/s over this container's remote-TPU
+    # relay, making H2D the train/eval bottleneck (docs/PERF.md) — and is
+    # BIT-IDENTICAL for bf16-compute models (the model casts inputs to bf16
+    # at its first op anyway).  Keep "float32" for fp32-compute parity runs;
+    # scripts pick this automatically from the model's compute dtype.
+    transfer_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -182,6 +182,17 @@ class BraTSDataset:
 
     # ---- assembly ----
 
+    def _wire(self, x: np.ndarray) -> np.ndarray:
+        """Convert the assembled volume to the wire dtype
+        (DataConfig.transfer_dtype).  bf16 halves the bytes shipped over the
+        25 MB/s remote-TPU relay and is bit-identical for bf16-compute
+        models; conversion runs here, in the loader worker thread, so it
+        overlaps device compute.  Labels travel as uint8 throughout."""
+        if self.cfg.transfer_dtype == "bfloat16":
+            import ml_dtypes
+            return x.astype(ml_dtypes.bfloat16)
+        return x
+
     def _pad_depth(self, img, label):
         pad_d = self.cfg.pad_depth - img.shape[2]
         if pad_d > 0:
@@ -229,9 +240,9 @@ class BraTSDataset:
                     c[:] = 0.0
                 out_chans.append(c)
             img = np.stack(out_chans, axis=-1)
-            target = np.where(label == 4, 3, label).astype(np.int32)
+            target = np.where(label == 4, 3, label).astype(np.uint8)
             img, _ = self._pad_depth(img, target)
-            return Sample(x=img, target=target, edge=None,
+            return Sample(x=self._wire(img), target=target, edge=None,
                           missing_modal=present, name=self.names[idx],
                           path=path, affine=affine)
 
@@ -256,7 +267,7 @@ class BraTSDataset:
             normalize_inplace(block, mean, std)
             x[:, :, :d_len, m] = block
 
-        target = np.zeros((ch, cw, cd), np.int32)
+        target = np.zeros((ch, cw, cd), np.uint8)
         target[:, :, :d_len] = \
             label[o[0]:o[0] + ch, o[1]:o[1] + cw, o[2]:d_hi]
         target[target == 4] = 3
@@ -277,9 +288,10 @@ class BraTSDataset:
             x = np.ascontiguousarray(x)
             target = np.ascontiguousarray(target)
 
-        edge = make_edge_map(target).astype(np.int32)
-        return Sample(x=x, target=target, edge=edge, missing_modal=present,
-                      name=self.names[idx], path=path, affine=affine)
+        edge = np.asarray(make_edge_map(target), np.uint8)
+        return Sample(x=self._wire(x), target=target, edge=edge,
+                      missing_modal=present, name=self.names[idx],
+                      path=path, affine=affine)
 
     def __getitem__(self, idx: int) -> Sample:
         rng = self._rng if self.mode == "train" else None

@@ -47,6 +47,11 @@ def make_train_step(model: ClsWiseFormer, tx: optax.GradientTransformation,
     """Returns a jittable (state, x, target, edge, rng) -> (state, metrics)."""
 
     def step(state: TrainState, x, target, edge, rng):
+        # labels travel host->device as uint8 (the remote-TPU relay moves
+        # ~25 MB/s; see DataConfig.transfer_dtype) — widen on device
+        target = target.astype(jnp.int32)
+        edge = edge.astype(jnp.int32)
+
         def loss_fn(params):
             outs = model.apply(params, x, train=True,
                                rngs={"dropout": rng})
@@ -177,38 +182,58 @@ class Trainer:
     def _compiled_step(self):
         if self._step_fn is None:
             fn = make_train_step(self.model, self.tx, self.criterion)
-            rep = replicated(self.mesh)
-            data = batch_sharding(self.mesh)
-            self._step_fn = jax.jit(
-                fn,
-                in_shardings=(rep, data, data, data, rep),
-                out_shardings=(rep, rep),
-                donate_argnums=(0,))
+            if self.mesh.size == 1:
+                # Single chip: skip the SPMD partitioner entirely.  The
+                # sharding-annotated executable is semantically identical on
+                # a 1-device mesh but measurably slower through the remote
+                # runtime; the annotations only pay off multi-device.
+                self._step_fn = jax.jit(fn, donate_argnums=(0,))
+            else:
+                rep = replicated(self.mesh)
+                data = batch_sharding(self.mesh)
+                self._step_fn = jax.jit(
+                    fn,
+                    in_shardings=(rep, data, data, data, rep),
+                    out_shardings=(rep, rep),
+                    donate_argnums=(0,))
         return self._step_fn
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         step_fn = self._compiled_step()
         self.loader.set_epoch(epoch)
         last = {}
+        pending = None          # (iter, device metrics) of the previous step
+
+        def log(i, metrics):
+            m = {k: np.asarray(v).tolist() for k, v in metrics.items()}
+            logger.info(
+                "Epoch: %d_Iter:%d  loss: %.5f || end_loss: %.5f || "
+                "s_loss:%.4f || edge_loss:%.4f || mid_s_loss:%.4f || "
+                "mid_edge_loss:%.4f ||",
+                epoch, i, m["loss"], m["end_loss"],
+                m["s_loss"], m["edge_loss"], m["mid_s_loss"],
+                m["mid_edge_loss"])
+            logger.info(
+                "epoch:%d, DICE= WT:%.4f,TC:%.4f,ET:%.4f  counts=%s",
+                epoch, m["dice_wt"], m["dice_tc"],
+                m["dice_et"], m["pred_counts"])
+            return m
+
         for i, batch in enumerate(self.loader):
             self.rng, drop = jax.random.split(self.rng)
             x, tgt, edg = shard_batch(
                 self.mesh, batch.x, batch.target, batch.edge)
             self.state, metrics = step_fn(self.state, x, tgt, edg, drop)
-            if i % self.cfg.train.log_every == 0:
-                last = {k: np.asarray(v).tolist()
-                        for k, v in metrics.items()}
-                logger.info(
-                    "Epoch: %d_Iter:%d  loss: %.5f || end_loss: %.5f || "
-                    "s_loss:%.4f || edge_loss:%.4f || mid_s_loss:%.4f || "
-                    "mid_edge_loss:%.4f ||",
-                    epoch, i, last["loss"], last["end_loss"],
-                    last["s_loss"], last["edge_loss"], last["mid_s_loss"],
-                    last["mid_edge_loss"])
-                logger.info(
-                    "epoch:%d, DICE= WT:%.4f,TC:%.4f,ET:%.4f  counts=%s",
-                    epoch, last["dice_wt"], last["dice_tc"],
-                    last["dice_et"], last["pred_counts"])
+            # log one step LATE: fetching step i's metrics would block on
+            # its execution, so dispatch step i+1 first and only then read
+            # step i's (by now finished) metrics — the host-side loader and
+            # H2D overlap the device step instead of serializing behind it
+            if pending is not None:
+                last = log(*pending)
+            pending = ((i, metrics) if i % self.cfg.train.log_every == 0
+                       else None)
+        if pending is not None:
+            last = log(*pending)
         return last
 
     def fit(self, eval_fn: Optional[Callable] = None) -> Dict[str, float]:

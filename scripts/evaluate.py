@@ -101,6 +101,7 @@ def main(argv=None):
     dcfg = DataConfig(root=a.root, valid_file=a.valid_file,
                       drop_modal=a.drop_modal, missing_modalities=missing,
                       cache_dir=a.cache_dir,
+                      transfer_dtype="float32" if a.fp32 else "bfloat16",
                       synthetic_hardness=a.synthetic_hardness,
                       **({} if a.num_samples is None
                          else {"synthetic_num_samples": a.num_samples}))

@@ -80,6 +80,9 @@ def build_config(a):
     data = DataConfig(root=a.root, train_file=a.train_file,
                       drop_modal=a.drop_modal, num_workers=a.num_workers,
                       seed=a.seed, cache_dir=a.cache_dir,
+                      # bf16 wire format halves H2D bytes; bit-identical
+                      # for the bf16-compute model (DataConfig docstring)
+                      transfer_dtype="bfloat16" if a.amp else "float32",
                       synthetic_hardness=a.synthetic_hardness,
                       augment_flip=a.augment_flip,
                       augment_intensity=a.augment_intensity,
