@@ -303,3 +303,24 @@ def test_synthetic_valid_split_disjoint_from_train():
     t_raw = tr._load_raw(0)[1]
     v_raw = va._load_raw(0)[1]
     assert not np.array_equal(np.asarray(t_raw), np.asarray(v_raw))
+
+
+def test_bf16_wire_format_bit_identical_for_bf16_model():
+    """DataConfig.transfer_dtype='bfloat16' claims bit-identity for
+    bf16-compute models: the model casts inputs to bf16 at its first op, so
+    rounding on the host before transfer must change nothing."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from dctseg.config import tiny_model_config
+    from dctseg.models.clswiseformer import build_model
+
+    cfg = tiny_model_config(compute_dtype="bfloat16")
+    m = build_model(cfg)
+    x32 = np.random.default_rng(0).normal(
+        size=(1, 32, 32, 32, 4)).astype(np.float32)
+    x16 = x32.astype(ml_dtypes.bfloat16)
+    p = m.init(jax.random.PRNGKey(0), jnp.asarray(x32), train=False)
+    y32 = m.apply(p, jnp.asarray(x32), train=False)[0]
+    y16 = m.apply(p, jnp.asarray(x16), train=False)[0]
+    np.testing.assert_array_equal(np.asarray(y32), np.asarray(y16))
