@@ -14,6 +14,7 @@ the reference's ConfusionMatrix guard does (utils/hausdorff.py:9-99).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
 import jax
@@ -121,6 +122,50 @@ def hausdorff_distance(test, reference, voxel_spacing=None,
     return float(max(d1.max(), d2.max()))
 
 
+# Upper bound on any squared voxel distance for volumes up to 256 per axis:
+# 3 * 255^2 + 1; exact in f32 and far below edt.INF.
+_VMAX = float(3 * 255 ** 2 + 1)
+
+
+def _composite_masks(x):
+    return jnp.stack([x > 0, (x == 1) | (x == 3), x == 3])      # (3,D,H,W)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_phase1(batched_call_shape: bool, use_hd95: bool):
+    def phase1(output, target):
+        o = _composite_masks(output)
+        t = _composite_masks(target)
+        o_sum = jnp.sum(o, axis=(1, 2, 3))
+        t_sum = jnp.sum(t, axis=(1, 2, 3))
+        inter = jnp.sum(o & t, axis=(1, 2, 3))
+        union = jnp.sum(o | t, axis=(1, 2, 3))
+        size = o[0].size
+        degenerate = ((o_sum == 0) | (o_sum == size)
+                      | (t_sum == 0) | (t_sum == size))
+        counts = jnp.stack([o_sum, t_sum, inter, union])        # (4, 3)
+        if not use_hd95:
+            return counts, degenerate, jnp.zeros(3, jnp.int32), None
+        if batched_call_shape:
+            ob, tb = o, t          # reference quirk: border == full mask
+        else:
+            ob, tb = edt.surface(o), edt.surface(t)
+        d1 = jnp.where(ob, edt.squared_edt(tb), edt.INF)        # (3,D,H,W)
+        d2 = jnp.where(tb, edt.squared_edt(ob), edt.INF)
+        pooled = jnp.concatenate(
+            [d1.reshape(3, -1), d2.reshape(3, -1)], axis=-1)    # (3, 2N)
+        n = (jnp.sum(ob, (1, 2, 3))
+             + jnp.sum(tb, (1, 2, 3))).astype(jnp.int32)
+        return counts, degenerate, n, pooled
+    return jax.jit(phase1)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_phase2():
+    return jax.jit(lambda pooled, ks: edt.masked_order_stats(pooled, ks,
+                                                             _VMAX))
+
+
 class DeviceMetrics:
     """Dice / mIoU / HD95 computed on the accelerator.
 
@@ -143,43 +188,11 @@ class DeviceMetrics:
                  use_hd95: bool = True):
         self.batched_call_shape = batched_call_shape
         self.use_hd95 = use_hd95
-        self._phase1 = jax.jit(self._phase1_fn)
-        self._phase2 = jax.jit(self._phase2_fn)
-
-    @staticmethod
-    def _masks(x):
-        return jnp.stack([x > 0, (x == 1) | (x == 3), x == 3])  # (3,D,H,W)
-
-    def _phase1_fn(self, output, target):
-        o = self._masks(output)
-        t = self._masks(target)
-        o_sum = jnp.sum(o, axis=(1, 2, 3))
-        t_sum = jnp.sum(t, axis=(1, 2, 3))
-        inter = jnp.sum(o & t, axis=(1, 2, 3))
-        union = jnp.sum(o | t, axis=(1, 2, 3))
-        size = o[0].size
-        degenerate = ((o_sum == 0) | (o_sum == size)
-                      | (t_sum == 0) | (t_sum == size))
-        counts = jnp.stack([o_sum, t_sum, inter, union])        # (4, 3)
-        if not self.use_hd95:
-            return counts, degenerate, jnp.zeros(3, jnp.int32), None
-        if self.batched_call_shape:
-            ob, tb = o, t          # reference quirk: border == full mask
-        else:
-            ob, tb = edt.surface(o), edt.surface(t)
-        d1 = jnp.where(ob, edt.squared_edt(tb), edt.INF)        # (3,D,H,W)
-        d2 = jnp.where(tb, edt.squared_edt(ob), edt.INF)
-        pooled = jnp.concatenate(
-            [d1.reshape(3, -1), d2.reshape(3, -1)], axis=-1)    # (3, 2N)
-        n = (jnp.sum(ob, (1, 2, 3)) + jnp.sum(tb, (1, 2, 3))).astype(jnp.int32)
-        return counts, degenerate, n, pooled
-
-    # Upper bound on any squared voxel distance for D <= 256 per axis:
-    # 3 * 255^2 + 1; exact in f32 and far below edt.INF.
-    _VMAX = float(3 * 255 ** 2 + 1)
-
-    def _phase2_fn(self, pooled, ks):
-        return edt.masked_order_stats(pooled, ks, self._VMAX)
+        # module-level jits keyed by the two static flags: every instance
+        # with the same flags shares one executable, so per-checkpoint
+        # sweeps (evaluate.py --strategy sweep) never recompile
+        self._phase1 = _device_phase1(batched_call_shape, use_hd95)
+        self._phase2 = _device_phase2()
 
     def __call__(self, output, target) -> dict:
         """``output``/``target``: integer label volumes (device or host).
