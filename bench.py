@@ -67,18 +67,24 @@ def main():
             float(y[0, 0, 0, 0, 0])
         return n_iters / (time.perf_counter() - t0)
 
-    vps = max(round_vps(6) for _ in range(3))
+    rounds = sorted(round_vps(6) for _ in range(3))
+    vps = rounds[-1]
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
     with open(baseline_path) as f:
         base = json.load(f)["torch_cpu_volumes_per_sec"]
 
+    # value = best of 3 (steady-state; the relay occasionally stalls for
+    # seconds) — median + raw rounds recorded so the policy is auditable.
     print(json.dumps({
         "metric": "sliding_window_inference",
         "value": round(vps, 4),
         "unit": "volumes/sec",
         "vs_baseline": round(vps / base, 2),
+        "median": round(rounds[1], 4),
+        "rounds": [round(r, 4) for r in rounds],
+        "policy": "best-of-3 (median+rounds recorded; axon relay stalls)",
     }))
 
 

@@ -43,7 +43,16 @@ def validate_softmax(
         stitch_mode: str = "reference",
         postprocess: bool = False,
         device_metrics: bool = True,
+        hd95_mode: str = "reference",
 ) -> Dict[str, float]:
+    """``hd95_mode``: 'reference' reproduces the reference's batched-mask
+    medpy quirk (parity with its headline numbers, predict_simple.py:393,408);
+    'surface' is the corrected 3-D surface-distance HD95 (see
+    :func:`dctseg.metrics.cal_hausdorff`)."""
+    if hd95_mode not in ("reference", "surface"):
+        raise ValueError(f"hd95_mode must be 'reference' or 'surface', "
+                         f"got {hd95_mode!r}")
+    batched_call_shape = hd95_mode == "reference"
     wt, tc, et = [], [], []
     h_wt, h_tc, h_et = [], [], []
     m_wt, m_tc, m_et = [], [], []
@@ -53,7 +62,8 @@ def validate_softmax(
     # Dice/mIoU/HD95 on the accelerator (exact-match with the host
     # functions; scipy's EDT costs ~4.5 s/volume on this 1-core host).
     # ``postprocess`` edits labels on host, so it forces the host path.
-    dmetrics = (metrics.DeviceMetrics(use_hd95=use_hd95)
+    dmetrics = (metrics.DeviceMetrics(batched_call_shape=batched_call_shape,
+                                      use_hd95=use_hd95)
                 if device_metrics and not postprocess else None)
 
     def run(x):
@@ -99,6 +109,9 @@ def validate_softmax(
     for i, (batch, out_dev, t0) in enumerate(stream()):
         name = batch.names[0]
         output = np.asarray(out_dev)[0].astype(np.int32)
+        # t0 is taken at dispatch and the result fetched one iteration later
+        # (see stream()), so each per-volume runtime folds in the overlapped
+        # host work — exact as a mean over the run, approximate per volume
         runtimes.append(time.time() - t0)
 
         target = batch.target[0]
@@ -117,8 +130,9 @@ def validate_softmax(
         else:
             soft = metrics.softmax_output_dice(output, target)
             miou = metrics.softmax_output_miou(output, target)
-            haus = (metrics.cal_hausdorff(output, target) if use_hd95
-                    else [0.0, 0.0, 0.0])
+            haus = (metrics.cal_hausdorff(output, target,
+                                          batched_call_shape)
+                    if use_hd95 else [0.0, 0.0, 0.0])
         wt.append(soft[0]); tc.append(soft[1]); et.append(soft[2])
         m_wt.append(miou[0]); m_tc.append(miou[1]); m_et.append(miou[2])
         h_wt.append(haus[0]); h_tc.append(haus[1]); h_et.append(haus[2])
@@ -129,8 +143,8 @@ def validate_softmax(
         logger.info("name:%s, MIOU= WT:%.4f,TC:%.4f,ET:%.4f", name, *miou)
         logger.info("name:%s, HAUSDORFF= WT:%.4f,TC:%.4f,ET:%.4f",
                     name, *haus)
-        logger.info("pred counts 0..3: %s  (%.2fs/volume)", counts,
-                    runtimes[-1])
+        logger.info("pred counts 0..3: %s  (%.2fs/volume, pipelined "
+                    "dispatch-to-fetch)", counts, runtimes[-1])
 
         if csv_export and visual:
             export.export_per_slice_csv(visual, name, output, target)

@@ -42,6 +42,12 @@ def parse_args(argv=None):
     p.add_argument("--csv", action="store_true", help="per-slice CSV")
     p.add_argument("--save-nifti", action="store_true")
     p.add_argument("--no-hd95", action="store_true")
+    p.add_argument("--hd95", default="reference",
+                   choices=["reference", "surface"],
+                   help="'reference' reproduces the reference's batched-mask "
+                        "medpy quirk (its headline HD95 numbers); 'surface' "
+                        "is the corrected 3-D surface-distance HD95 (see "
+                        "dctseg.metrics.cal_hausdorff)")
     p.add_argument("--multimodel", action="store_true",
                    help="ensemble over the newest 4 checkpoints "
                         "(predict_cls.py:147-174)")
@@ -152,7 +158,8 @@ def main(argv=None):
         for epoch in ckpt.all_epochs():
             predictor.update_params(ckpt.restore_params(epoch, abstract))
             out = validate_softmax(make_loader(), predictor, "tta",
-                                   use_hd95=not a.no_hd95)
+                                   use_hd95=not a.no_hd95,
+                                   hd95_mode=a.hd95)
             export_checkpoint_sweep_csv(csv_path, f"epoch_{epoch}",
                                         out["wt"], out["tc"], out["et"])
             results[epoch] = out
@@ -170,7 +177,8 @@ def main(argv=None):
     return validate_softmax(
         make_loader(), predictor, a.strategy,
         savepath=os.path.join(a.output_dir, "submission"),
-        use_hd95=not a.no_hd95, snapshot=a.snapshot, csv_export=a.csv,
+        use_hd95=not a.no_hd95, hd95_mode=a.hd95,
+        snapshot=a.snapshot, csv_export=a.csv,
         save_nifti=a.save_nifti, visual=os.path.join(a.output_dir, "visual"),
         param_sets=param_sets, stitch_mode=a.stitch_mode,
         postprocess=a.postprocess)

@@ -132,6 +132,50 @@ def test_validate_single_strategy(tiny_predictor):
     assert np.isfinite(out["wt"])
 
 
+def test_validate_hd95_modes(tiny_predictor):
+    """--hd95 {reference,surface}: both modes must flow through the loop
+    (device-metrics path) and match the host oracle for the predicted
+    labels; on asymmetric masks the two numbers must differ (the quirk is
+    measurably smaller than true surface HD95)."""
+    from dctseg import metrics
+
+    pred, _ = tiny_predictor
+    cfg = DataConfig(synthetic_num_samples=1, input_shape=(48, 48, 40),
+                     pad_depth=40, crop_size=(32, 32, 32))
+    ds = BraTSDataset(mode="valid", cfg=cfg)
+
+    def run(mode, device_metrics):
+        loader = PrefetchLoader(ds, batch_size=1, shuffle=False,
+                                num_workers=1)
+        return validate_softmax(loader, pred, strategy="single",
+                                hd95_mode=mode,
+                                device_metrics=device_metrics)
+
+    ref = run("reference", True)
+    surf = run("surface", True)
+    # host path agrees with the device path in both modes
+    ref_h = run("reference", False)
+    surf_h = run("surface", False)
+    for k in ("hd95_wt", "hd95_tc", "hd95_et"):
+        np.testing.assert_allclose(ref[k], ref_h[k], atol=1e-6)
+        np.testing.assert_allclose(surf[k], surf_h[k], atol=1e-6)
+    # the quirk mode pools all-voxel distances -> differs from surface HD95
+    assert any(abs(ref[k] - surf[k]) > 1e-6
+               for k in ("hd95_wt", "hd95_tc", "hd95_et")), (ref, surf)
+    with pytest.raises(ValueError):
+        run("bogus", True)
+
+
+def test_evaluate_cli_hd95_flag():
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import importlib
+    eval_mod = importlib.import_module("evaluate")
+    assert eval_mod.parse_args([]).hd95 == "reference"
+    assert eval_mod.parse_args(["--hd95", "surface"]).hd95 == "surface"
+
+
 def test_mesh_sharded_inference_matches_unsharded(tiny_predictor):
     """Multi-chip eval: a (data=2, space=4) mesh Predictor must produce the
     single-device result — TTA's 8 variants shard over `data`, each volume's
