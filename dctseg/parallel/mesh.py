@@ -70,6 +70,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """device_put a tuple of host arrays with batch sharding."""
+    """Place a tuple of host arrays with batch sharding.
+
+    Single-process: plain ``device_put``.  Multi-process (after
+    ``dctseg.parallel.distributed.initialize``): each process holds only its
+    OWN rows of the global batch (the loader shards by process, the
+    ``DistributedSampler`` shape of train.py:163), and
+    ``make_array_from_process_local_data`` assembles the global array from
+    the per-process locals — the jax.Array analogue of DDP's
+    one-process-per-device input split.
+    """
     s = batch_sharding(mesh)
-    return tuple(jax.device_put(a, s) for a in arrays)
+    if jax.process_count() == 1:
+        return tuple(jax.device_put(a, s) for a in arrays)
+    return tuple(
+        jax.make_array_from_process_local_data(s, np.asarray(a))
+        for a in arrays)

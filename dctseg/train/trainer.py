@@ -102,8 +102,18 @@ class Trainer:
             drop_modal=cfg.data.drop_modal, cfg=cfg.data)
         # global batch = per-device batch * mesh size
         self.global_batch = cfg.train.batch_size * self.num_devices
+        # Multi-process (pod-slice) runs: each process loads only the rows
+        # destined for its own chips — the DistributedSampler shape of
+        # train.py:163 — and shard_batch assembles the global jax.Array
+        # from the per-process locals.
+        self.num_processes = jax.process_count()
+        assert self.global_batch % self.num_processes == 0, (
+            f"global batch {self.global_batch} not divisible by "
+            f"{self.num_processes} processes")
         self.loader = PrefetchLoader(
-            self.dataset, batch_size=self.global_batch,
+            self.dataset,
+            batch_size=self.global_batch // self.num_processes,
+            shard=jax.process_index(), num_shards=self.num_processes,
             shuffle=True, num_workers=cfg.data.num_workers,
             prefetch=cfg.data.prefetch, seed=cfg.train.seed)
         self.steps_per_epoch = max(1, len(self.loader))

@@ -1,6 +1,7 @@
 """Logging setup: file + console, matching the reference's ``log_args``
-(train.py:278-297).  Single-program SPMD has one process, so the reference's
-rank gating (train.py:113-118) reduces to process-0 == always."""
+(train.py:278-297).  The reference's rank gating (train.py:113-118) maps to
+``dctseg.parallel.distributed.is_primary()``: multi-process drivers pass
+``log_file=None`` on non-primary processes (console only)."""
 
 from __future__ import annotations
 

@@ -68,6 +68,10 @@ def parse_args(argv=None):
                    help="skip checkpoint loading (smoke runs)")
     p.add_argument("--num-samples", type=int, default=None,
                    help="synthetic dataset size (no --root only)")
+    p.add_argument("--input-shape", type=int, nargs=3, default=None,
+                   metavar=("H", "W", "D"),
+                   help="raw volume shape (synthetic smoke runs; real "
+                        "BraTS is always 240 240 155)")
     return p.parse_args(argv)
 
 
@@ -104,9 +108,17 @@ def main(argv=None):
     missing = tuple(
         int(tok) if tok.isdigit() else names.index(tok)
         for tok in (t.strip() for t in a.missing.split(",")) if tok)
+    geo = {"crop_size": (a.img_dim,) * 3}
+    if a.input_shape is not None:
+        shape = tuple(a.input_shape)
+        assert a.strategy not in ("tiling", "tiling_tta") or \
+            shape == (240, 240, 155), (
+            "sliding-window tiling windows are fixed to the BraTS "
+            "240x240x155 geometry (predict.py:40-47)")
+        geo.update(input_shape=shape, pad_depth=max(shape[2], a.img_dim))
     dcfg = DataConfig(root=a.root, valid_file=a.valid_file,
                       drop_modal=a.drop_modal, missing_modalities=missing,
-                      cache_dir=a.cache_dir,
+                      cache_dir=a.cache_dir, **geo,
                       transfer_dtype="float32" if a.fp32 else "bfloat16",
                       synthetic_hardness=a.synthetic_hardness,
                       **({} if a.num_samples is None

@@ -32,6 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic-hardness", default="simple",
                    choices=["simple", "hard"],
                    help="synthetic pathology difficulty (no --root only)")
+    p.add_argument("--input-shape", type=int, nargs=3, default=None,
+                   metavar=("H", "W", "D"),
+                   help="raw volume shape (synthetic smoke runs; real "
+                        "BraTS is always 240 240 155)")
     p.add_argument("--augment-flip", action="store_true")
     p.add_argument("--augment-intensity", type=float, default=0.0)
     # training (reference train.py:76-108)
@@ -49,6 +53,16 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--num-devices", type=int, default=None)
+    # multi-process launch (the reference's torch.distributed.launch shape,
+    # train.py:1,128: one process per device / per host).  On Cloud TPU pod
+    # slices just run the same command on every host — jax autodetects the
+    # coordinator; elsewhere pass these (or JAX_COORDINATOR /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars).
+    p.add_argument("--coordinator", default="",
+                   help="coordinator address host:port for multi-process "
+                        "runs (jax.distributed.initialize)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="shard each sample's D spatial axis over this many "
                         "devices (2-D data x space mesh; conv halos via "
@@ -77,9 +91,15 @@ def build_config(a):
         compute_dtype="bfloat16" if a.amp else "float32",
         use_pallas_attention=a.pallas_attention,
         **({} if a.img_dim == 128 else {"top_num": min(128, (a.img_dim // 16) ** 3)}))
+    # the data crop must match the model's input geometry (the reference
+    # couples crop_* args to the 128^3 model, train.py:61-73)
+    geo = {"crop_size": (a.img_dim,) * 3}
+    if a.input_shape is not None:
+        shape = tuple(a.input_shape)
+        geo.update(input_shape=shape, pad_depth=max(shape[2], a.img_dim))
     data = DataConfig(root=a.root, train_file=a.train_file,
                       drop_modal=a.drop_modal, num_workers=a.num_workers,
-                      seed=a.seed, cache_dir=a.cache_dir,
+                      seed=a.seed, cache_dir=a.cache_dir, **geo,
                       # bf16 wire format halves H2D bytes; bit-identical
                       # for the bf16-compute model (DataConfig docstring)
                       transfer_dtype="bfloat16" if a.amp else "float32",
@@ -102,6 +122,11 @@ def build_config(a):
 
 def main(argv=None):
     a = parse_args(argv)
+    # join the multi-process runtime BEFORE any jax backend use so all
+    # processes agree on the global device set (no-op single-process)
+    from dctseg.parallel import distributed
+    distributed.initialize(a.coordinator or None, a.num_processes,
+                           a.process_id)
     from dctseg.train.trainer import Trainer
     from dctseg.utils.jax_setup import enable_compile_cache
     enable_compile_cache()
@@ -111,8 +136,11 @@ def main(argv=None):
     set_process_title("dctseg:train")  # reference train.py:120 'Training!'
 
     stamp = time.strftime("%Y%m%d_%H%M%S")
-    log = setup_logging(os.path.join(a.log_dir,
-                                     f"{a.experiment}_{stamp}.txt"))
+    # rank-gate the log file like the reference (train.py:113-118): only
+    # the primary writes the experiment log; other processes log to console
+    log = setup_logging(
+        os.path.join(a.log_dir, f"{a.experiment}_{stamp}.txt")
+        if distributed.is_primary() else None)
     for k, v in sorted(vars(a).items()):
         log.info("%s=%s", k, v)
     cfg = build_config(a)

@@ -1,0 +1,92 @@
+"""Multi-process distributed training: the reference's actual execution
+shape (one process per device group, train.py:1,128-134) exercised for real
+— 2 OS processes x 4 virtual CPU devices each join one 8-device global mesh
+via jax.distributed (Gloo collectives on CPU), each feeds its own rows of
+the global batch, and the sharded train step must agree across processes
+and with a single-process run over the same global batch."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+WORKER = os.path.join(REPO, "tests", "mp_train_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _spawn_workers(nproc, port, tmp_path, ckpt_dir=""):
+    outs, procs = [], []
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "PALLAS_AXON_POOL_IPS")}
+    for pid in range(nproc):
+        out = str(tmp_path / f"proc{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(nproc), str(port), out]
+            + ([ckpt_dir] if ckpt_dir else []),
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=900)
+        logs.append(stdout.decode())
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-3000:]
+    return [json.load(open(o)) for o in outs]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train(tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    results = _spawn_workers(2, _free_port(), tmp_path, ckpt_dir)
+
+    r0, r1 = results
+    assert r0["global_devices"] == r1["global_devices"] == 8
+    assert {r0["process_index"], r1["process_index"]} == {0, 1}
+    # both processes run the SAME global SPMD program: replicated loss and
+    # params must agree bitwise across processes
+    assert r0["loss0"] == r1["loss0"]
+    assert r0["loss1"] == r1["loss1"]
+    assert r0["param_sum"] == r1["param_sum"]
+    assert np.isfinite(r0["loss0"]) and np.isfinite(r0["loss1"])
+    assert r0["loss1"] < r0["loss0"]     # the step actually optimizes
+
+    # the collective orbax save (all processes participate) produced a
+    # loadable checkpoint
+    import orbax.checkpoint as ocp
+    mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    assert mngr.latest_step() == 1
+    mngr.close()
+
+    # single-process (1x8 devices) run over the same 8 deterministic
+    # samples: the global batch is a permutation (round-robin process
+    # sharding), so the mean loss matches up to reduction-order noise
+    import jax
+    from dctseg.config import Config, DataConfig, TrainConfig, \
+        tiny_model_config
+    from dctseg.train.trainer import Trainer
+    assert jax.device_count() >= 8
+    cfg = Config(
+        model=tiny_model_config(img_dim=16, top_num=2),
+        data=DataConfig(synthetic_num_samples=8,
+                        input_shape=(16, 16, 16), pad_depth=16,
+                        crop_size=(16, 16, 16), num_workers=2),
+        train=TrainConfig(end_epoch=2, save_freq=1000, lr=1e-3,
+                          num_devices=8,
+                          checkpoint_dir=str(tmp_path / "sp_ckpt")),
+    )
+    tr = Trainer(cfg)
+    tr.init_state()
+    m0 = tr.train_epoch(0)
+    np.testing.assert_allclose(m0["loss"], r0["loss0"], rtol=1e-4)

@@ -192,8 +192,15 @@ def test_train_cli_build_config():
     assert cfg.model.top_num == 8          # derived for img_dim 32
     assert cfg.train.amp_lr_restart_epoch == 249
     assert cfg.train.end_epoch == 7 and cfg.train.lr == 3e-4
+    # the data crop follows the model geometry
+    assert cfg.data.crop_size == (32, 32, 32)
     a2 = train_mod.parse_args(["--amp", "--no-amp-lr-quirk"])
     assert train_mod.build_config(a2).train.amp_lr_restart_epoch is None
+    a3 = train_mod.parse_args(["--img-dim", "32", "--input-shape",
+                               "48", "48", "40"])
+    cfg3 = train_mod.build_config(a3)
+    assert cfg3.data.input_shape == (48, 48, 40)
+    assert cfg3.data.pad_depth == 40 and cfg3.data.crop_size == (32,) * 3
 
 
 def test_spatial_sharding_matches_data_parallel(tmp_path):
