@@ -166,6 +166,10 @@ class TrainConfig:
     spatial_shards: int = 1  # 2-D (data, space) mesh: shard each sample's D
     # spatial axis over this many devices (GSPMD conv halo exchange); the
     # reference has no model parallelism (SURVEY.md §2.9b) — TPU headroom
+    device_prefetch: int = 1  # device_put the NEXT batch from a feeder
+    # thread while the current step runs (double buffer): overlaps the H2D
+    # transfer — the measured bottleneck on this container's 25 MB/s relay
+    # (docs/PERF.md) — with device compute.  0 = synchronous placement.
 
 
 @dataclasses.dataclass(frozen=True)

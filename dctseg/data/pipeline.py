@@ -33,6 +33,8 @@ class Batch:
         self.names = [s.name for s in samples]
         self.paths = [s.path for s in samples]
         self.affines = [s.affine for s in samples]
+        self.source_shapes = [s.source_shape for s in samples]
+        self.crop_origins = [s.crop_origin for s in samples]
 
 
 def shard_indices(n: int, epoch: int, seed: int, shard: int,
@@ -93,8 +95,6 @@ class PrefetchLoader:
             job_q.put((bi, b))
 
         def worker(worker_id: int):
-            rng = np.random.default_rng(
-                (self.seed, self.epoch, self.shard, worker_id))
             while not stop.is_set():
                 while not sem.acquire(timeout=0.5):
                     if stop.is_set():
@@ -105,8 +105,15 @@ class PrefetchLoader:
                     sem.release()
                     return
                 try:
+                    # Seed the augmentation/crop RNG per (epoch, sample):
+                    # batch content is then deterministic regardless of
+                    # worker scheduling, worker count, shard count, or
+                    # batch size — a per-WORKER stream would tie a sample's
+                    # crop to which thread happened to claim its batch.
                     samples = [self.dataset.get(
-                        i, rng if self.dataset.mode == "train" else None)
+                        i, (np.random.default_rng(
+                            (self.seed, self.epoch, int(i)))
+                            if self.dataset.mode == "train" else None))
                         for i in idxs]
                     result = Batch(samples)
                 except BaseException as e:  # propagate to the consumer

@@ -41,6 +41,26 @@ def initialize(coordinator_address: Optional[str] = None,
                     "%d local / %d global devices",
                     jax.process_index(), jax.process_count(),
                     jax.local_device_count(), jax.device_count())
+        # Establish the cross-process collective context (Gloo on CPU, the
+        # ICI/DCN clique on TPU) NOW, while every process is still in
+        # lockstep from the coordinator rendezvous above: context setup has
+        # a short peer deadline (observed 30 s for Gloo key exchange), and
+        # the first *training* collective can otherwise be skewed by
+        # minutes of per-process cold compiles.  A trivial global sync
+        # compiles in ~1 s, so all processes reach it near-simultaneously.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("dctseg:collective_init")
+        logger.info("global collective context established")
+
+
+def barrier(name: str, timeout_ms: int = 3_600_000) -> None:
+    """Rendezvous all processes through the coordination service (NOT a
+    device collective — safe to call around compilation).  No-op when
+    single-process."""
+    from jax._src import distributed as _jd
+    client = _jd.global_state.client
+    if client is not None and jax.process_count() > 1:
+        client.wait_at_barrier(name, timeout_ms, None)
 
 
 def is_primary() -> bool:

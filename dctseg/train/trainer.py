@@ -28,6 +28,7 @@ from dctseg.data.brats import BraTSDataset
 from dctseg.data.pipeline import PrefetchLoader
 from dctseg.losses import CRITERIA, total_loss
 from dctseg.models.clswiseformer import ClsWiseFormer, build_model
+from dctseg.parallel import distributed
 from dctseg.parallel.mesh import (batch_sharding, data_size, make_mesh,
                                   replicated, shard_batch)
 from dctseg.train.checkpoint import Checkpointer, should_save
@@ -121,6 +122,7 @@ class Trainer:
         self.tx = make_optimizer(cfg.train, self.steps_per_epoch)
         self.criterion = CRITERIA[cfg.train.criterion]
         self._step_fn = None
+        self._mp_step = None   # AOT-compiled step for multi-process runs
         self.ckpt = Checkpointer(cfg.train.checkpoint_dir)
         self.state: Optional[TrainState] = None
         self.rng = jax.random.PRNGKey(cfg.train.seed)
@@ -208,6 +210,55 @@ class Trainer:
                     donate_argnums=(0,))
         return self._step_fn
 
+    def _device_batches(self):
+        """Iterate device-resident (x, target, edge) tuples.
+
+        With ``device_prefetch > 0`` a feeder thread runs ``shard_batch``
+        (device_put) for batch i+1 while the main thread's step i executes:
+        the H2D transfer — the measured bottleneck on this container's
+        25 MB/s relay (docs/PERF.md) — overlaps device compute instead of
+        serializing ahead of each dispatch.  The queue bounds device-side
+        staging to ``device_prefetch`` batches beyond the one in flight.
+        """
+        depth = self.cfg.train.device_prefetch
+        if jax.process_count() > 1:
+            # Multi-controller runs must issue operations in the same order
+            # on every process; a feeder thread racing the main thread's
+            # step dispatch makes that order nondeterministic (observed as
+            # coordination-service barrier timeouts).  Keep placement
+            # synchronous — on a pod slice the per-host DMA is fast; the
+            # prefetch exists for this container's 25 MB/s relay.
+            depth = 0
+        if depth <= 0:
+            for batch in self.loader:
+                yield shard_batch(self.mesh, batch.x, batch.target,
+                                  batch.edge)
+            return
+        import queue as _queue
+        import threading as _threading
+        q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+        _END = object()
+
+        def feeder():
+            try:
+                for batch in self.loader:
+                    q.put(shard_batch(self.mesh, batch.x, batch.target,
+                                      batch.edge))
+                q.put(_END)
+            except BaseException as e:  # propagate into the train loop
+                q.put(e)
+
+        t = _threading.Thread(target=feeder, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         step_fn = self._compiled_step()
         self.loader.set_epoch(epoch)
@@ -229,10 +280,20 @@ class Trainer:
                 m["dice_et"], m["pred_counts"])
             return m
 
-        for i, batch in enumerate(self.loader):
+        for i, (x, tgt, edg) in enumerate(self._device_batches()):
             self.rng, drop = jax.random.split(self.rng)
-            x, tgt, edg = shard_batch(
-                self.mesh, batch.x, batch.target, batch.edge)
+            if jax.process_count() > 1:
+                # Multi-process: compile ahead-of-time and rendezvous
+                # BEFORE the first collective executes.  Cross-process
+                # collective ops have short peer deadlines (Gloo: 30 s),
+                # while cold compiles on a loaded host can skew processes'
+                # arrival at the first all-reduce by minutes; the AOT
+                # executable is then reused for every step (no re-trace).
+                if self._mp_step is None:
+                    self._mp_step = step_fn.lower(
+                        self.state, x, tgt, edg, drop).compile()
+                    distributed.barrier("dctseg:train_step_compiled")
+                step_fn = self._mp_step
             self.state, metrics = step_fn(self.state, x, tgt, edg, drop)
             # log one step LATE: fetching step i's metrics would block on
             # its execution, so dispatch step i+1 first and only then read

@@ -78,6 +78,10 @@ def parse_args(argv=None):
     p.add_argument("--no-amp-lr-quirk", action="store_true",
                    help="with --amp, keep the plain poly schedule")
     p.add_argument("--pallas-attention", action="store_true")
+    p.add_argument("--device-prefetch", type=int, default=1,
+                   help="stage the next batch's H2D transfer from a feeder "
+                        "thread while the current step runs (0 = "
+                        "synchronous placement)")
     p.add_argument("--eval-at-save", action="store_true",
                    help="run a validation pass (single-patch, no TTA) on "
                         "the valid split at every checkpoint save")
@@ -116,7 +120,7 @@ def build_config(a):
                               else None),
         resume=a.resume, checkpoint_dir=a.checkpoint_dir,
         experiment=a.experiment, num_devices=a.num_devices,
-        spatial_shards=a.spatial_shards)
+        spatial_shards=a.spatial_shards, device_prefetch=a.device_prefetch)
     return Config(model=model, data=data, train=train)
 
 

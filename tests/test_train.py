@@ -203,6 +203,24 @@ def test_train_cli_build_config():
     assert cfg3.data.pad_depth == 40 and cfg3.data.crop_size == (32,) * 3
 
 
+def test_device_prefetch_matches_synchronous(tmp_path):
+    """The H2D double-buffer feeder (TrainConfig.device_prefetch) must be a
+    pure latency optimization: identical batches in identical order, so an
+    epoch produces bitwise the same loss as synchronous placement."""
+    t_sync = _tiny_trainer(tmp_path / "s", end_epoch=1, samples=4,
+                           device_prefetch=0)
+    t_pre = _tiny_trainer(tmp_path / "p", end_epoch=1, samples=4,
+                          device_prefetch=2)
+    t_sync.init_state()
+    t_pre.init_state()
+    m_sync = t_sync.train_epoch(0)
+    m_pre = t_pre.train_epoch(0)
+    assert m_pre["loss"] == m_sync["loss"], (m_pre["loss"], m_sync["loss"])
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(t_pre.state.params)[0]),
+        np.asarray(jax.tree.leaves(t_sync.state.params)[0]))
+
+
 def test_spatial_sharding_matches_data_parallel(tmp_path):
     """2-D (data=2, space=4) mesh: each sample's D axis is sharded over 4
     devices (GSPMD conv halo exchange).  Same global batch + params as the
