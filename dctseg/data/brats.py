@@ -44,6 +44,12 @@ class Sample:
     affine: Optional[np.ndarray] = None  # 4x4 voxel->world of the source
     # volume; exported submissions must carry it (the reference keeps
     # nibabel's affine, predict.py:318-328)
+    source_shape: Optional[tuple] = None  # raw (H, W, D) of the source
+    crop_origin: Optional[tuple] = None   # crop offset in padded source
+    # geometry; with source_shape it lets crop-strategy predictions be
+    # re-embedded into source geometry for submission export (the
+    # reference's NIfTI path only ever handled full volumes,
+    # predict.py:318-328)
 
 
 def zscore_nonzero(img: np.ndarray) -> np.ndarray:
@@ -244,7 +250,9 @@ class BraTSDataset:
             img, _ = self._pad_depth(img, target)
             return Sample(x=self._wire(img), target=target, edge=None,
                           missing_modal=present, name=self.names[idx],
-                          path=path, affine=affine)
+                          path=path, affine=affine,
+                          source_shape=tuple(label.shape),
+                          crop_origin=(0, 0, 0))
 
         # crop path: z-score statistics come from the FULL volume (standard
         # BraTS recipe) but normalization is applied to the crop only —
@@ -291,7 +299,8 @@ class BraTSDataset:
         edge = np.asarray(make_edge_map(target), np.uint8)
         return Sample(x=self._wire(x), target=target, edge=edge,
                       missing_modal=present, name=self.names[idx],
-                      path=path, affine=affine)
+                      path=path, affine=affine,
+                      source_shape=tuple(label.shape), crop_origin=o)
 
     def __getitem__(self, idx: int) -> Sample:
         rng = self._rng if self.mode == "train" else None

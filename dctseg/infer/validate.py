@@ -161,9 +161,24 @@ def validate_softmax(
             export.export_png_slices(visual, name, output, target)
         if save_nifti and savepath:
             # carry the source affine so submissions have valid world
-            # coordinates (reference keeps nibabel's, predict.py:318-328)
+            # coordinates (reference keeps nibabel's, predict.py:318-328),
+            # and re-embed crop-strategy predictions into the source
+            # geometry so every strategy produces a submission-shaped
+            # volume (the reference's NIfTI path only ever handled full
+            # volumes)
+            seg = output
+            src = getattr(batch, "source_shapes", [None])[0]
+            org = getattr(batch, "crop_origins", [None])[0]
+            if (src is not None and org is not None
+                    and tuple(src) != seg.shape):
+                full = np.zeros(tuple(src), seg.dtype)
+                ends = [min(o + c, s) for o, c, s
+                        in zip(org, seg.shape, src)]
+                full[tuple(slice(o, e) for o, e in zip(org, ends))] = \
+                    seg[tuple(slice(0, e - o) for o, e in zip(org, ends))]
+                seg = full
             export.export_nifti_segmentation(
-                os.path.join(savepath, f"{name}.nii.gz"), output,
+                os.path.join(savepath, f"{name}.nii.gz"), seg,
                 affine=getattr(batch, "affines", [None])[0])
 
     if summary_rows:
