@@ -87,6 +87,40 @@ def main():
     print(f"fine 4^3 s2 32->256 @64^3    : {t4*1e3:7.2f} ms  "
           f"eff {fl2/t4/1e12:6.1f} TF/s(logical)")
 
+    # quarter-res variants (64ch at 32^3: en3_a/b, down3, deup4,
+    # deblock4/_1 — the VERDICT r2 third-rung question).  64 input channels
+    # already fill half the 128 MXU lanes, so direct is the favorite; the
+    # s2d view (512ch at 16^3) runs dense but at 8x arithmetic.
+    @jax.jit
+    def conv_direct(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=dt)
+
+    C3, S3 = 64, 32
+    xf3 = jnp.asarray(rng.normal(size=(B, S3, S3, S3, C3)), dt)
+    xs3 = jnp.asarray(rng.normal(size=(B, S3 // 2, S3 // 2, S3 // 2, 8 * C3)), dt)
+    wf3 = jnp.asarray(rng.normal(size=(3, 3, 3, C3, C3)) * 0.1, dt)
+    wd3 = jnp.asarray(rng.normal(size=(3, 3, 3, 8 * C3, 8 * C3)) * 0.1, dt)
+    w43 = jnp.asarray(rng.normal(size=(4, 4, 4, C3, 8 * C3)) * 0.1, dt)
+    fl3 = 2 * B * S3**3 * 27 * C3 * C3
+    t5 = timeit(conv_direct, xf3, wf3)
+    print(f"direct 3^3 64->64 @32^3      : {t5*1e3:7.2f} ms  "
+          f"eff {fl3/t5/1e12:6.1f} TF/s(logical)")
+    t6 = timeit(conv_s2d_dense, xs3, wd3)
+    print(f"s2d dense 3^3 512->512 @16^3 : {t6*1e3:7.2f} ms  "
+          f"eff {fl3/t6/1e12:6.1f} TF/s(logical)")
+    t7 = timeit(conv_fine_s2dout, xf3, w43)
+    print(f"fine 4^3 s2 64->512 @32^3    : {t7*1e3:7.2f} ms  "
+          f"eff {fl3/t7/1e12:6.1f} TF/s(logical)")
+
+    # and the half-res DIRECT baseline for completeness at 32ch
+    wf2 = jnp.asarray(rng.normal(size=(3, 3, 3, C2, C2)) * 0.1, dt)
+    t8 = timeit(conv_direct, xf2, wf2)
+    print(f"direct 3^3 32->32 @64^3      : {t8*1e3:7.2f} ms  "
+          f"eff {fl2/t8/1e12:6.1f} TF/s(logical)")
+
 
 if __name__ == "__main__":
     main()
