@@ -53,11 +53,16 @@ class Predictor:
     per-chip activation memory by the space factor."""
 
     def __init__(self, model, params, microbatch: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, fuse_crops: bool = False):
         self.model = model
         self.params = params
         self.microbatch = microbatch
         self.mesh = mesh
+        # Fold crop extraction into the batched-forward executable (one
+        # dispatch fewer per tiled volume).  Only the single-chip,
+        # unsplit-batch path supports it; measured on the chip before
+        # becoming a default (scripts/measure_fused_dispatch.py).
+        self.fuse_crops = fuse_crops and microbatch is None and mesh is None
         self._fwd_cache = {}
         self._fwd = self._make_fwd(shard_batch_axis=False)
 
@@ -158,6 +163,21 @@ class Predictor:
         return jax.jit(crops_cat)
 
     @functools.cached_property
+    def _crops_fwd_fn(self) -> Callable:
+        """Crop extraction + B=8 forward as ONE program: saves one dispatch
+        round-trip per volume (the axon relay adds ~5-10 ms per dispatch;
+        the crop slicing itself is 4.6 ms of device work that XLA now fuses
+        into the forward's first layout pass).  The full tiling monolith
+        (crops+forward+stitch) crashes the TPU compiler — this two-stage
+        split (crops+forward | stitch) is the measured sweet spot."""
+        def crops_fwd(p, x):
+            crops = self._crops(x.shape[3])
+            xs = jnp.concatenate([x[:, h, w, d, :] for h, w, d in crops],
+                                 axis=0)                       # (8,128^3,M)
+            return self.model.apply(p, xs, train=False)[0]
+        return jax.jit(crops_fwd)
+
+    @functools.cached_property
     def _stitch_fn(self) -> Callable:
         def stitch(t, stitch_ref: bool):
             c = t.shape[-1]
@@ -189,8 +209,11 @@ class Predictor:
         and splitting lets the B=8 forward executable be shared with other
         callers; per-volume dispatch overhead is negligible."""
         assert x.shape[0] == 1
-        xs = self._crops_fn(x)
-        t = self._forward(self.params, xs)
+        if self.fuse_crops:
+            t = self._crops_fwd_fn(self.params, x)
+        else:
+            xs = self._crops_fn(x)
+            t = self._forward(self.params, xs)
         return self._stitch_fn(t, stitch_mode == "reference")
 
     def tiled_tta_probs(self, x: jnp.ndarray,

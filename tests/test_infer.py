@@ -75,6 +75,25 @@ def test_tiled_stitch_reference_offset():
                                atol=1e-6)
 
 
+def test_fused_crops_matches_staged():
+    """fuse_crops folds crop extraction into the forward executable (one
+    dispatch fewer per volume); it must be bit-exact vs the staged path
+    and silently disable itself on the mesh/microbatch paths it does not
+    support."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 240, 240, 160, 4))
+                    .astype(np.float32))
+    staged = Predictor(_PassThrough(), jnp.asarray(0.0))
+    fused = Predictor(_PassThrough(), jnp.asarray(0.0), fuse_crops=True)
+    assert fused.fuse_crops
+    for mode in ("reference", "aligned"):
+        np.testing.assert_array_equal(
+            np.asarray(fused.tiled_probs(x, mode)),
+            np.asarray(staged.tiled_probs(x, mode)))
+    assert not Predictor(_PassThrough(), jnp.asarray(0.0), microbatch=4,
+                         fuse_crops=True).fuse_crops
+
+
 def test_ensemble_average():
     x = jnp.ones((1, 240, 240, 160, 4))
     pred = Predictor(_PassThrough(), jnp.asarray(0.0))
