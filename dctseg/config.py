@@ -170,6 +170,13 @@ class TrainConfig:
     # thread while the current step runs (double buffer): overlaps the H2D
     # transfer — the measured bottleneck on this container's 25 MB/s relay
     # (docs/PERF.md) — with device compute.  0 = synchronous placement.
+    preempt_save: bool = True  # on SIGTERM/SIGINT, finish the in-flight
+    # step, save a FULL checkpoint (params+opt_state+step) and exit
+    # cleanly (TPU-pod preemptions deliver SIGTERM; the reference has no
+    # recovery story — crash = restart from last .pth, SURVEY.md §5)
+    restore_opt: bool = False  # --resume restores optimizer state + epoch
+    # too (true resume).  Default False = the reference's params-only
+    # resume quirk (train.py:146-157).
 
 
 @dataclasses.dataclass(frozen=True)

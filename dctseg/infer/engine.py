@@ -53,16 +53,20 @@ class Predictor:
     per-chip activation memory by the space factor."""
 
     def __init__(self, model, params, microbatch: Optional[int] = None,
-                 mesh=None, fuse_crops: bool = False):
+                 mesh=None, fuse_dispatch: bool = False):
         self.model = model
         self.params = params
         self.microbatch = microbatch
         self.mesh = mesh
-        # Fold crop extraction into the batched-forward executable (one
-        # dispatch fewer per tiled volume).  Only the single-chip,
-        # unsplit-batch path supports it; measured on the chip before
-        # becoming a default (scripts/measure_fused_dispatch.py).
-        self.fuse_crops = fuse_crops and microbatch is None and mesh is None
+        # Fold the batch-construction stage (tiling crops / TTA flips) into
+        # the batched-forward executable: one dispatch round-trip fewer per
+        # volume.  Only the single-chip, unsplit-batch path supports it.
+        # Measured NEGATIVE on the idle host (pipelining already hides the
+        # dispatch; the fused program is 2-5% slower) — ships off by
+        # default as a mitigation for high-latency dispatch paths only
+        # (scripts/measure_fused_dispatch.py, docs/PERF.md).
+        self.fuse_dispatch = (fuse_dispatch and microbatch is None
+                              and mesh is None)
         self._fwd_cache = {}
         self._fwd = self._make_fwd(shard_batch_axis=False)
 
@@ -127,15 +131,30 @@ class Predictor:
             return acc / len(FLIP_COMBOS)
         return jax.jit(unflip_mean)
 
+    @functools.cached_property
+    def _flips_fwd_fn(self) -> Callable:
+        """Flip construction + B=8 forward as ONE program (see
+        _crops_fwd_fn: the full monolith incl. unflip+mean crashes the TPU
+        compiler, but fusing the free `lax.rev` stage saves a dispatch)."""
+        def flips_fwd(p, x):
+            xs = jnp.concatenate(
+                [jax.lax.rev(x, c) if c else x for c in FLIP_COMBOS], axis=0)
+            return self.model.apply(p, xs, train=False)[0]
+        return jax.jit(flips_fwd)
+
     def tta_probs(self, x: jnp.ndarray) -> jnp.ndarray:
         """8-way flip TTA with double-softmax averaging; x must be (1,...).
 
         Staged (flips -> shared B=8 forward -> unflip+mean) so the big
         batched-forward executable is shared with the tiling path and the
-        TPU compiler never sees one monolithic program (which OOMs)."""
+        TPU compiler never sees one monolithic program (which OOMs).
+        ``fuse_dispatch`` folds the flip stage into the forward."""
         assert x.shape[0] == 1, "TTA operates per volume"
-        xs = self._flip_batch_fn(x)
-        probs = self._forward(self.params, xs)
+        if self.fuse_dispatch:
+            probs = self._flips_fwd_fn(self.params, x)
+        else:
+            xs = self._flip_batch_fn(x)
+            probs = self._forward(self.params, xs)
         return self._unflip_mean_fn(probs)
 
     # ---- sliding-window tiling (predict.py:37-65) ----
@@ -165,11 +184,11 @@ class Predictor:
     @functools.cached_property
     def _crops_fwd_fn(self) -> Callable:
         """Crop extraction + B=8 forward as ONE program: saves one dispatch
-        round-trip per volume (the axon relay adds ~5-10 ms per dispatch;
-        the crop slicing itself is 4.6 ms of device work that XLA now fuses
-        into the forward's first layout pass).  The full tiling monolith
-        (crops+forward+stitch) crashes the TPU compiler — this two-stage
-        split (crops+forward | stitch) is the measured sweet spot."""
+        round-trip per volume.  The full tiling monolith
+        (crops+forward+stitch) crashes the TPU compiler, so this is the
+        deepest fusable split.  Measured slightly SLOWER than staged under
+        depth-2 pipelining on the idle host (docs/PERF.md) — the option
+        exists for dispatch-latency-dominated deployments."""
         def crops_fwd(p, x):
             crops = self._crops(x.shape[3])
             xs = jnp.concatenate([x[:, h, w, d, :] for h, w, d in crops],
@@ -209,7 +228,7 @@ class Predictor:
         and splitting lets the B=8 forward executable be shared with other
         callers; per-volume dispatch overhead is negligible."""
         assert x.shape[0] == 1
-        if self.fuse_crops:
+        if self.fuse_dispatch:
             t = self._crops_fwd_fn(self.params, x)
         else:
             xs = self._crops_fn(x)

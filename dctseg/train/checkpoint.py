@@ -34,10 +34,14 @@ class Checkpointer:
                 max_to_keep=max_to_keep, create=True))
 
     def save(self, epoch: int, params: Any, opt_state: Any,
-             step: int) -> None:
+             step: int, partial: bool = False) -> None:
+        """``partial=True`` marks a mid-epoch (preemption) save: resume
+        with ``restore_opt`` re-runs the interrupted epoch instead of
+        skipping to the next one."""
         items = dict(
             params=ocp.args.StandardSave(params),
-            meta=ocp.args.JsonSave({"epoch": epoch, "step": step}),
+            meta=ocp.args.JsonSave(
+                {"epoch": epoch, "step": step, "partial": partial}),
         )
         # converted reference checkpoints are params-only (orbax rejects
         # empty pytrees)

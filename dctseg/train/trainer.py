@@ -13,8 +13,11 @@ fp32's exponent range so no GradScaler is needed (SURVEY.md §2.9b).
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
+import signal
+import threading
 import time
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
@@ -126,6 +129,8 @@ class Trainer:
         self.ckpt = Checkpointer(cfg.train.checkpoint_dir)
         self.state: Optional[TrainState] = None
         self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self._preempt = threading.Event()
+        self.preempted = False  # set by fit() after an early exit
 
     # ---- state init / resume ----
 
@@ -175,9 +180,12 @@ class Trainer:
             params, opt_state, meta = src.restore_full(
                 epoch, abstract, jax.tree.map(ocp_abstract,
                                               self.state.opt_state))
-            self.state = TrainState(params, opt_state, self.state.step)
+            self.state = TrainState(
+                params, opt_state,
+                jnp.asarray(int(meta["step"]), jnp.int32))
             logger.info("restored full state from epoch %s", epoch)
-            return int(meta["epoch"]) + 1
+            # a partial (preemption) save re-runs the interrupted epoch
+            return int(meta["epoch"]) + (0 if meta.get("partial") else 1)
         params = src.restore_params(epoch, abstract)
         start = self.cfg.train.start_epoch
         offset = start * self.steps_per_epoch
@@ -188,6 +196,46 @@ class Trainer:
         logger.info("restored params from epoch %s (dir=%s), LR seeded at "
                     "epoch %d", epoch, src.directory, start)
         return start
+
+    # ---- preemption (SURVEY.md §5: the reference has no recovery story;
+    # crash = restart from the last .pth.  TPU pods deliver SIGTERM on
+    # preemption/maintenance — we save a FULL resumable checkpoint.) ----
+
+    def request_stop(self) -> None:
+        """Ask the training loop to stop after the in-flight step; fit()
+        then saves a full (params+opt_state+step) checkpoint and returns.
+        Thread- and signal-safe."""
+        self._preempt.set()
+
+    @contextlib.contextmanager
+    def _signal_guard(self):
+        """Route SIGTERM/SIGINT to request_stop for the duration of fit().
+
+        The previous handler is restored on the FIRST signal (so a second
+        one regains default force-kill semantics) and on exit.  Installed
+        only from the main thread (signal.signal's requirement); on
+        multi-process pod runs preemption delivers SIGTERM host-wide, so
+        every process enters the same collective Orbax save."""
+        if (not self.cfg.train.preempt_save
+                or threading.current_thread() is not threading.main_thread()):
+            yield
+            return
+        prev = {}
+
+        def handler(sig, frame):
+            self.request_stop()
+            signal.signal(sig, prev[sig])
+            logger.info("signal %s: will checkpoint and exit after the "
+                        "in-flight step (again to force-kill)", sig)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev[sig] = signal.signal(sig, handler)
+        try:
+            yield
+        finally:
+            for sig, h in prev.items():
+                if signal.getsignal(sig) is handler:
+                    signal.signal(sig, h)
 
     # ---- the loop ----
 
@@ -235,29 +283,44 @@ class Trainer:
                                   batch.edge)
             return
         import queue as _queue
-        import threading as _threading
         q: "_queue.Queue" = _queue.Queue(maxsize=depth)
         _END = object()
+        stop = threading.Event()   # consumer gone (preemption/early exit)
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    pass
+            return False
 
         def feeder():
             try:
                 for batch in self.loader:
-                    q.put(shard_batch(self.mesh, batch.x, batch.target,
-                                      batch.edge))
-                q.put(_END)
+                    if not put(shard_batch(self.mesh, batch.x, batch.target,
+                                           batch.edge)):
+                        return
+                put(_END)
             except BaseException as e:  # propagate into the train loop
-                q.put(e)
+                put(e)
 
-        t = _threading.Thread(target=feeder, daemon=True)
+        t = threading.Thread(target=feeder, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # unblock and retire the feeder even on an early exit
+            # (preemption breaks the consuming loop mid-epoch)
+            stop.set()
+            t.join()
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         step_fn = self._compiled_step()
@@ -281,6 +344,8 @@ class Trainer:
             return m
 
         for i, (x, tgt, edg) in enumerate(self._device_batches()):
+            if self._preempt.is_set():
+                break
             self.rng, drop = jax.random.split(self.rng)
             if jax.process_count() > 1:
                 # Multi-process: compile ahead-of-time and rendezvous
@@ -312,6 +377,10 @@ class Trainer:
         optional validation hook invoked at every checkpoint save (the
         reference's validate-in-train capability, predict_simple.py:283
         ``valid_in_train``)."""
+        with self._signal_guard():
+            return self._fit(eval_fn)
+
+    def _fit(self, eval_fn: Optional[Callable]) -> Dict[str, float]:
         cfg = self.cfg.train
         if self.state is None:
             if cfg.resume:
@@ -320,7 +389,8 @@ class Trainer:
                 # new checkpoints to checkpoint_dir (train.py:146-157)
                 start = self.resume(
                     from_dir=cfg.resume if isinstance(cfg.resume, str)
-                    else None)
+                    else None,
+                    restore_opt=cfg.restore_opt)
             else:
                 self.init_state()
                 start = cfg.start_epoch
@@ -332,6 +402,18 @@ class Trainer:
             te = time.time()
             last = self.train_epoch(epoch)
             logger.info("epoch %d done in %.1fs", epoch, time.time() - te)
+            if self._preempt.is_set():
+                # mid-epoch stop: save a FULL resumable checkpoint
+                # tagged partial so restore_opt re-runs this epoch
+                self.ckpt.save(epoch, self.state.params,
+                               self.state.opt_state,
+                               int(self.state.step), partial=True)
+                self.ckpt.wait()
+                self.preempted = True
+                logger.info("preempted: full state saved at epoch %d "
+                            "step %d; resume with restore_opt",
+                            epoch, int(self.state.step))
+                return last
             if should_save(epoch, cfg.save_freq, cfg.end_epoch):
                 self.ckpt.save(epoch, self.state.params,
                                self.state.opt_state,

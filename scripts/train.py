@@ -85,6 +85,13 @@ def parse_args(argv=None):
     p.add_argument("--eval-at-save", action="store_true",
                    help="run a validation pass (single-patch, no TTA) on "
                         "the valid split at every checkpoint save")
+    p.add_argument("--restore-opt", action="store_true",
+                   help="--resume restores optimizer state + epoch too "
+                        "(true resume; default is the reference's "
+                        "params-only quirk, train.py:146-157)")
+    p.add_argument("--no-preempt-save", action="store_true",
+                   help="disable the SIGTERM/SIGINT handler that saves a "
+                        "full resumable checkpoint before exiting")
     return p.parse_args(argv)
 
 
@@ -120,7 +127,8 @@ def build_config(a):
                               else None),
         resume=a.resume, checkpoint_dir=a.checkpoint_dir,
         experiment=a.experiment, num_devices=a.num_devices,
-        spatial_shards=a.spatial_shards, device_prefetch=a.device_prefetch)
+        spatial_shards=a.spatial_shards, device_prefetch=a.device_prefetch,
+        restore_opt=a.restore_opt, preempt_save=not a.no_preempt_save)
     return Config(model=model, data=data, train=train)
 
 

@@ -75,23 +75,30 @@ def test_tiled_stitch_reference_offset():
                                atol=1e-6)
 
 
-def test_fused_crops_matches_staged():
-    """fuse_crops folds crop extraction into the forward executable (one
-    dispatch fewer per volume); it must be bit-exact vs the staged path
-    and silently disable itself on the mesh/microbatch paths it does not
-    support."""
+def test_fused_dispatch_matches_staged(tiny_predictor):
+    """fuse_dispatch folds the batch-construction stage (tiling crops /
+    TTA flips) into the forward executable (one dispatch fewer per
+    volume); both engines must be bit-exact vs the staged path, and the
+    flag must silently disable itself on the mesh/microbatch paths it
+    does not support."""
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(1, 240, 240, 160, 4))
                     .astype(np.float32))
     staged = Predictor(_PassThrough(), jnp.asarray(0.0))
-    fused = Predictor(_PassThrough(), jnp.asarray(0.0), fuse_crops=True)
-    assert fused.fuse_crops
+    fused = Predictor(_PassThrough(), jnp.asarray(0.0), fuse_dispatch=True)
+    assert fused.fuse_dispatch
     for mode in ("reference", "aligned"):
         np.testing.assert_array_equal(
             np.asarray(fused.tiled_probs(x, mode)),
             np.asarray(staged.tiled_probs(x, mode)))
     assert not Predictor(_PassThrough(), jnp.asarray(0.0), microbatch=4,
-                         fuse_crops=True).fuse_crops
+                         fuse_dispatch=True).fuse_dispatch
+
+    # TTA path, with a real (tiny) model
+    pred, xt = tiny_predictor
+    fused_t = Predictor(pred.model, pred.params, fuse_dispatch=True)
+    np.testing.assert_array_equal(np.asarray(fused_t.tta_probs(xt)),
+                                  np.asarray(pred.tta_probs(xt)))
 
 
 def test_ensemble_average():

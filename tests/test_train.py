@@ -1,6 +1,8 @@
 """Training subsystem tests: optimizer parity, schedule, multi-device step,
 checkpoint round-trip, overfit-one-volume integration."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -142,6 +144,37 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     tr3.init_state()
     start = tr3.resume(restore_opt=True)
     assert start == 1
+
+
+def test_preemption_signal_saves_full_resumable_state(tmp_path):
+    """SIGTERM during fit() (a TPU-pod preemption) must finish the
+    in-flight step, save a FULL checkpoint (params+opt_state+step) tagged
+    partial, and return; --restore-opt resume then re-runs the
+    interrupted epoch from the saved optimizer state."""
+    import signal
+    import threading
+
+    prev_handler = signal.getsignal(signal.SIGTERM)
+    tr = _tiny_trainer(tmp_path, end_epoch=50, samples=4)
+    # 50 epochs of real steps take far longer than the timer, so the
+    # signal always lands mid-fit; every later assertion is
+    # timing-independent (any number of completed steps is valid).
+    threading.Timer(1.0, os.kill, (os.getpid(), signal.SIGTERM)).start()
+    tr.fit()
+    assert tr.preempted
+    assert signal.getsignal(signal.SIGTERM) is prev_handler  # restored
+
+    saved_epoch = tr.ckpt.latest_epoch()
+    assert saved_epoch is not None and saved_epoch < 49
+
+    tr2 = _tiny_trainer(tmp_path, end_epoch=50, restore_opt=True)
+    tr2.init_state()
+    start = tr2.resume(restore_opt=True)
+    assert start == saved_epoch           # partial save: re-run the epoch
+    assert int(tr2.state.step) == int(tr.state.step)
+    for x, y in zip(jax.tree.leaves(tr.state.opt_state),
+                    jax.tree.leaves(tr2.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_resume_from_other_dir_seeds_lr_schedule(tmp_path):
