@@ -137,9 +137,10 @@ class Predictor:
         _crops_fwd_fn: the full monolith incl. unflip+mean crashes the TPU
         compiler, but fusing the free `lax.rev` stage saves a dispatch)."""
         def flips_fwd(p, x):
-            xs = jnp.concatenate(
-                [jax.lax.rev(x, c) if c else x for c in FLIP_COMBOS], axis=0)
-            return self.model.apply(p, xs, train=False)[0]
+            # the jitted stage fn inlines when traced inside this jit, so
+            # the flip construction has exactly one definition
+            return self.model.apply(p, self._flip_batch_fn(x),
+                                    train=False)[0]
         return jax.jit(flips_fwd)
 
     def tta_probs(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -190,10 +191,9 @@ class Predictor:
         depth-2 pipelining on the idle host (docs/PERF.md) — the option
         exists for dispatch-latency-dominated deployments."""
         def crops_fwd(p, x):
-            crops = self._crops(x.shape[3])
-            xs = jnp.concatenate([x[:, h, w, d, :] for h, w, d in crops],
-                                 axis=0)                       # (8,128^3,M)
-            return self.model.apply(p, xs, train=False)[0]
+            # reuses _crops_fn (inlined under this jit): one definition of
+            # the safety-critical crop windows serves both paths
+            return self.model.apply(p, self._crops_fn(x), train=False)[0]
         return jax.jit(crops_fwd)
 
     @functools.cached_property

@@ -30,13 +30,16 @@ def initialize(coordinator_address: Optional[str] = None,
     unless coordination info is provided or discoverable)."""
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR")
     if explicit or num_processes is not None:
+        # `is not None` (not truthiness): process 0 passing --process-id 0
+        # must not fall through to a stale JAX_PROCESS_ID in the env
         jax.distributed.initialize(
             coordinator_address=coordinator_address
             or os.environ.get("JAX_COORDINATOR"),
-            num_processes=num_processes
-            or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-            process_id=process_id
-            or int(os.environ.get("JAX_PROCESS_ID", "0")))
+            num_processes=(num_processes if num_processes is not None
+                           else int(os.environ.get("JAX_NUM_PROCESSES",
+                                                   "1"))),
+            process_id=(process_id if process_id is not None
+                        else int(os.environ.get("JAX_PROCESS_ID", "0"))))
         logger.info("jax.distributed initialized: process %d/%d, "
                     "%d local / %d global devices",
                     jax.process_index(), jax.process_count(),
@@ -55,12 +58,26 @@ def initialize(coordinator_address: Optional[str] = None,
 
 def barrier(name: str, timeout_ms: int = 3_600_000) -> None:
     """Rendezvous all processes through the coordination service (NOT a
-    device collective — safe to call around compilation).  No-op when
+    device collective — safe to call around compilation, and immune to the
+    collective backend's short peer deadlines).  No-op when
     single-process."""
-    from jax._src import distributed as _jd
-    client = _jd.global_state.client
-    if client is not None and jax.process_count() > 1:
+    if jax.process_count() <= 1:
+        return
+    try:
+        # jax exposes no public coordination-service barrier; reach for the
+        # internal client but survive its relocation in a jax upgrade by
+        # falling back to a device collective (which works, just loses the
+        # around-compilation safety this barrier exists for).
+        from jax._src import distributed as _jd
+        client = _jd.global_state.client
+        if client is None:
+            return
         client.wait_at_barrier(name, timeout_ms, None)
+    except (ImportError, AttributeError):
+        logger.warning("coordination-service barrier unavailable in this "
+                       "jax version; falling back to a device collective")
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
 
 
 def is_primary() -> bool:

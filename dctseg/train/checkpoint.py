@@ -47,6 +47,15 @@ class Checkpointer:
         # empty pytrees)
         if opt_state:
             items["opt_state"] = ocp.args.StandardSave(opt_state)
+        if epoch in self._mngr.all_steps():
+            # A partial (preemption) save can already occupy this epoch's
+            # slot: after a --restore-opt resume re-runs the interrupted
+            # epoch, its regular save (or a second preemption) lands on the
+            # same step number, and orbax raises StepAlreadyExistsError
+            # rather than overwrite.  The fresh save supersedes the stale
+            # one.  (delete() is process-synchronized like save().)
+            self._mngr.wait_until_finished()
+            self._mngr.delete(epoch)
         self._mngr.save(epoch, args=ocp.args.Composite(**items))
 
     def wait(self) -> None:

@@ -207,6 +207,26 @@ class Trainer:
         Thread- and signal-safe."""
         self._preempt.set()
 
+    def _should_stop(self) -> bool:
+        """Per-step stop decision.  Multi-process runs must AGREE on the
+        stop step: signal delivery is skewed across processes, and a
+        process that breaks one step earlier than its peers leaves them
+        blocked in a gradient all-reduce (then everyone misses the
+        checkpoint).  A scalar any-reduce over processes at each loop top
+        makes every rank break at the same step index with identical
+        state; a rank whose own signal never arrived (single-host
+        preemption) is pulled along via request_stop so the collective
+        save below runs on all ranks."""
+        local = self._preempt.is_set()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            anyrank = bool(multihost_utils.process_allgather(
+                np.asarray(local, np.int32)).max())
+            if anyrank and not local:
+                self.request_stop()
+            return anyrank
+        return local
+
     @contextlib.contextmanager
     def _signal_guard(self):
         """Route SIGTERM/SIGINT to request_stop for the duration of fit().
@@ -344,7 +364,7 @@ class Trainer:
             return m
 
         for i, (x, tgt, edg) in enumerate(self._device_batches()):
-            if self._preempt.is_set():
+            if self._should_stop():
                 break
             self.rng, drop = jax.random.split(self.rng)
             if jax.process_count() > 1:
@@ -400,19 +420,27 @@ class Trainer:
         last = {}
         for epoch in range(start, cfg.end_epoch):
             te = time.time()
-            last = self.train_epoch(epoch)
+            # `or last`: an epoch stopped before its first step (preemption
+            # raced the loop top) has no metrics; keep the previous ones
+            last = self.train_epoch(epoch) or last
             logger.info("epoch %d done in %.1fs", epoch, time.time() - te)
             if self._preempt.is_set():
-                # mid-epoch stop: save a FULL resumable checkpoint
-                # tagged partial so restore_opt re-runs this epoch
+                # Early stop: save a FULL resumable checkpoint.  A signal
+                # that lands after the epoch's last step interrupted
+                # nothing — tag partial only when steps remain, else a
+                # restore_opt resume would re-train the whole epoch on an
+                # optimizer state that already includes it.
+                steps_done = int(self.state.step)
+                partial = steps_done < (epoch + 1) * self.steps_per_epoch
                 self.ckpt.save(epoch, self.state.params,
                                self.state.opt_state,
-                               int(self.state.step), partial=True)
+                               steps_done, partial=partial)
                 self.ckpt.wait()
                 self.preempted = True
                 logger.info("preempted: full state saved at epoch %d "
-                            "step %d; resume with restore_opt",
-                            epoch, int(self.state.step))
+                            "step %d (%s); resume with restore_opt",
+                            epoch, steps_done,
+                            "mid-epoch" if partial else "epoch complete")
                 return last
             if should_save(epoch, cfg.save_freq, cfg.end_epoch):
                 self.ckpt.save(epoch, self.state.params,

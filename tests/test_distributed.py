@@ -24,7 +24,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn_workers(nproc, port, tmp_path, ckpt_dir=""):
+def _spawn_workers(nproc, port, tmp_path, ckpt_dir="", mode=""):
     outs, procs = [], []
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
@@ -34,7 +34,8 @@ def _spawn_workers(nproc, port, tmp_path, ckpt_dir=""):
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, WORKER, str(pid), str(nproc), str(port), out]
-            + ([ckpt_dir] if ckpt_dir else []),
+            + ([ckpt_dir] if ckpt_dir or mode else [])
+            + ([mode] if mode else []),
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     logs = []
@@ -90,3 +91,28 @@ def test_two_process_distributed_train(tmp_path):
     tr.init_state()
     m0 = tr.train_epoch(0)
     np.testing.assert_allclose(m0["loss"], r0["loss0"], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_multiprocess_preemption_single_rank_signal(tmp_path):
+    """Pod preemption with SKEWED signal delivery: SIGTERM reaches rank 0
+    only.  The per-step any-reduce in Trainer._should_stop must stop every
+    rank at the SAME step with identical replicated state, and all ranks
+    must join the collective partial orbax save (a rank breaking alone
+    would deadlock its peers in the gradient all-reduce)."""
+    ckpt_dir = str(tmp_path / "ckpt")
+    r0, r1 = _spawn_workers(2, _free_port(), tmp_path, ckpt_dir, "preempt")
+    assert r0["preempted"] and r1["preempted"]
+    assert r0["step"] == r1["step"] > 0          # agreed stop step
+    assert r0["param_sum"] == r1["param_sum"]    # identical state
+    assert np.isfinite(r0["loss"])
+
+    # the collective save committed and is tagged resumable
+    import orbax.checkpoint as ocp
+    mngr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    latest = mngr.latest_step()
+    assert latest is not None
+    meta = mngr.restore(latest, args=ocp.args.Composite(
+        meta=ocp.args.JsonRestore()))["meta"]
+    assert meta["step"] == r0["step"]
+    mngr.close()

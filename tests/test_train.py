@@ -170,11 +170,25 @@ def test_preemption_signal_saves_full_resumable_state(tmp_path):
     tr2 = _tiny_trainer(tmp_path, end_epoch=50, restore_opt=True)
     tr2.init_state()
     start = tr2.resume(restore_opt=True)
-    assert start == saved_epoch           # partial save: re-run the epoch
+    # partial (mid-epoch) save re-runs the epoch; a signal that landed
+    # exactly at the epoch boundary interrupted nothing and resumes at +1
+    boundary = (saved_epoch + 1) * tr.steps_per_epoch
+    assert start == (saved_epoch if int(tr.state.step) < boundary
+                     else saved_epoch + 1)
     assert int(tr2.state.step) == int(tr.state.step)
     for x, y in zip(jax.tree.leaves(tr.state.opt_state),
                     jax.tree.leaves(tr2.state.opt_state)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # the re-run epoch's regular save lands on the occupied step number:
+    # it must supersede the stale partial save, not raise
+    # StepAlreadyExistsError
+    tr2.ckpt.save(saved_epoch, tr2.state.params, tr2.state.opt_state,
+                  int(tr2.state.step))
+    tr2.ckpt.wait()
+    tr3 = _tiny_trainer(tmp_path, end_epoch=50)
+    tr3.init_state()
+    assert tr3.resume(restore_opt=True) == saved_epoch + 1  # non-partial now
 
 
 def test_resume_from_other_dir_seeds_lr_schedule(tmp_path):
