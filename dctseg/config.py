@@ -170,6 +170,10 @@ class TrainConfig:
     # thread while the current step runs (double buffer): overlaps the H2D
     # transfer — the measured bottleneck on this container's 25 MB/s relay
     # (docs/PERF.md) — with device compute.  0 = synchronous placement.
+    grad_accum: int = 1  # micro-batches per optimizer step (lax.scan
+    # accumulation): per-device batch must divide evenly.  Lets one 16 GB
+    # chip train the reference's global batch of 4 (train.py:76,305) when
+    # a single backward pass does not fit.
     preempt_save: bool = True  # on SIGTERM/SIGINT, finish the in-flight
     # step, save a FULL checkpoint (params+opt_state+step) and exit
     # cleanly (TPU-pod preemptions deliver SIGTERM; the reference has no

@@ -107,6 +107,10 @@ def total_loss(outputs, target: Array, edge: Array,
     region and edge auxiliary losses.  Returns all components for logging."""
     seg, sup, edge_sup, mid_sup, mid_edge_sup = outputs
     main = criterion(seg, target)
+    if isinstance(main, tuple):
+        # the alternate criterions return (loss, dice1, dice2, dice3) like
+        # the reference's (train.py:206 unpacks loss only)
+        main = main[0]
     s_loss = get_separate_loss(sup, target)
     e_loss = get_edge_separate_loss(edge_sup, edge)
     mid_s_loss = get_separate_loss(mid_sup, target)

@@ -47,8 +47,25 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(model: ClsWiseFormer, tx: optax.GradientTransformation,
-                    criterion: Callable) -> Callable:
-    """Returns a jittable (state, x, target, edge, rng) -> (state, metrics)."""
+                    criterion: Callable, grad_accum: int = 1) -> Callable:
+    """Returns a jittable (state, x, target, edge, rng) -> (state, metrics).
+
+    ``grad_accum`` splits the batch into that many micro-batches evaluated
+    sequentially under ``lax.scan`` with gradients (and loss components)
+    averaged before ONE optimizer update: activation memory drops by the
+    accumulation factor, so a single 16 GB chip can train the reference's
+    global batch of 4 (one per GPU x 4, train.py:76,305) that does not fit
+    in one backward pass.  Semantics are the mean of per-micro-batch
+    gradients — EXACTLY the reference's DDP shape (per-GPU loss on local
+    rows, gradients averaged by the all-reduce, train.py:134) when the
+    micro-batch equals the per-GPU batch.  A single full-batch pass is
+    only near-equal: the dice losses couple the batch through global
+    sums, and dropout masks are drawn per micro-batch."""
+
+    def loss_fn(params, x, target, edge, rng):
+        outs = model.apply(params, x, train=True, rngs={"dropout": rng})
+        comp = total_loss(outs, target, edge, criterion)
+        return comp["loss"], (comp, outs[0])
 
     def step(state: TrainState, x, target, edge, rng):
         # labels travel host->device as uint8 (the remote-TPU relay moves
@@ -56,20 +73,50 @@ def make_train_step(model: ClsWiseFormer, tx: optax.GradientTransformation,
         target = target.astype(jnp.int32)
         edge = edge.astype(jnp.int32)
 
-        def loss_fn(params):
-            outs = model.apply(params, x, train=True,
-                               rngs={"dropout": rng})
-            comp = total_loss(outs, target, edge, criterion)
-            return comp["loss"], (comp, outs[0])
+        if grad_accum == 1:
+            grads, (comp, seg) = jax.grad(loss_fn, has_aux=True)(
+                state.params, x, target, edge, rng)
+            pred = jnp.argmax(seg, axis=-1)
+        else:
+            ga = grad_accum
+            # Micro-batch j takes rows {r : r % ga == j}: each device's
+            # contiguous row block contributes equally to every micro-batch
+            # (per-device batch % ga == 0, checked in Trainer), so the
+            # reshape is shard-local and the micro-batch keeps the full
+            # `data`-axis sharding — no resharding collectives.
+            def split(a):
+                return a.reshape(-1, ga, *a.shape[1:]).swapaxes(0, 1)
+            keys = jax.random.split(rng, ga)
 
-        grads, (comp, seg) = jax.grad(loss_fn, has_aux=True)(state.params)
+            def body(acc, inp):
+                acc_g, acc_c = acc
+                xm, tm, em, key = inp
+                g, (c, seg) = jax.grad(loss_fn, has_aux=True)(
+                    state.params, xm, tm, em, key)
+                return (jax.tree.map(jnp.add, acc_g, g),
+                        jax.tree.map(jnp.add, acc_c, c)), \
+                    jnp.argmax(seg, axis=-1)
+            zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+            # loss-component accumulator matching total_loss's dict
+            comp_shape = jax.eval_shape(
+                loss_fn, state.params, split(x)[0], split(target)[0],
+                split(edge)[0], keys[0])[1][0]
+            zeros_c = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), comp_shape)
+            (acc_g, acc_c), preds = jax.lax.scan(
+                body, (zeros_g, zeros_c),
+                (split(x), split(target), split(edge), keys))
+            grads = jax.tree.map(lambda a: a / ga, acc_g)
+            comp = jax.tree.map(lambda a: a / ga, acc_c)
+            # (ga, mb, ...) -> original row order
+            pred = preds.swapaxes(0, 1).reshape(-1, *preds.shape[2:])
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # train-time sanity metrics (train.py:192-205), on device
-        pred = jnp.argmax(seg, axis=-1)
         metrics = dict(comp)
         metrics["pred_counts"] = jnp.stack(
-            [(pred == c).sum() for c in range(seg.shape[-1])])
+            [(pred == c).sum() for c in range(model.cfg.num_classes)])
         wt = _dice(pred > 0, target > 0)
         tc = _dice((pred == 1) | (pred == 3), (target == 1) | (target == 3))
         et = _dice(pred == 3, target == 3)
@@ -114,6 +161,11 @@ class Trainer:
         assert self.global_batch % self.num_processes == 0, (
             f"global batch {self.global_batch} not divisible by "
             f"{self.num_processes} processes")
+        # accumulation splits each device's rows, so the per-device batch
+        # must divide evenly (keeps the micro-batch reshape shard-local)
+        assert cfg.train.batch_size % cfg.train.grad_accum == 0, (
+            f"per-device batch {cfg.train.batch_size} not divisible by "
+            f"grad_accum {cfg.train.grad_accum}")
         self.loader = PrefetchLoader(
             self.dataset,
             batch_size=self.global_batch // self.num_processes,
@@ -261,7 +313,8 @@ class Trainer:
 
     def _compiled_step(self):
         if self._step_fn is None:
-            fn = make_train_step(self.model, self.tx, self.criterion)
+            fn = make_train_step(self.model, self.tx, self.criterion,
+                                 self.cfg.train.grad_accum)
             if self.mesh.size == 1:
                 # Single chip: skip the SPMD partitioner entirely.  The
                 # sharding-annotated executable is semantically identical on

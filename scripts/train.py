@@ -85,6 +85,10 @@ def parse_args(argv=None):
     p.add_argument("--eval-at-save", action="store_true",
                    help="run a validation pass (single-patch, no TTA) on "
                         "the valid split at every checkpoint save")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches per optimizer step (gradient "
+                        "accumulation; per-device batch must divide "
+                        "evenly).  Trains large global batches on one chip")
     p.add_argument("--restore-opt", action="store_true",
                    help="--resume restores optimizer state + epoch too "
                         "(true resume; default is the reference's "
@@ -128,6 +132,7 @@ def build_config(a):
         resume=a.resume, checkpoint_dir=a.checkpoint_dir,
         experiment=a.experiment, num_devices=a.num_devices,
         spatial_shards=a.spatial_shards, device_prefetch=a.device_prefetch,
+        grad_accum=a.grad_accum,
         restore_opt=a.restore_opt, preempt_save=not a.no_preempt_save)
     return Config(model=model, data=data, train=train)
 

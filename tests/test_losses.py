@@ -119,6 +119,25 @@ def test_total_loss_components_sum():
     np.testing.assert_allclose(float(comp["loss"]), float(total), rtol=1e-6)
 
 
+def test_total_loss_accepts_every_criterion():
+    """--criterion is user-selectable on the train driver; all 5 must flow
+    through total_loss (the alternate ones return (loss, dice...) tuples
+    like the reference, whose train.py:206 unpacks loss only — total_loss
+    must scalarize, not crash on tuple+scalar)."""
+    rng = np.random.default_rng(8)
+    target = jnp.asarray(rng.integers(0, 4, size=(1, 8, 8, 8)), jnp.int32)
+    edge = jnp.asarray(rng.choice([0, 1, 2, 4, 5, 6, 7, 8],
+                                  size=(1, 8, 8, 8)), jnp.int32)
+    seg = jnp.asarray(_rand_probs((1, 8, 8, 8, 4), seed=9))
+    dicts = [{k: jnp.asarray(_rand_probs((1, 8, 8, 8, 2),
+                                         seed=40 + 3 * j + i))
+              for i, k in enumerate(("01", "02", "04"))} for j in range(4)]
+    for name, crit in losses.CRITERIA.items():
+        comp = losses.total_loss((seg, *dicts), target, edge, crit)
+        assert comp["loss"].shape == (), name
+        assert np.isfinite(float(comp["loss"])), name
+
+
 def test_alternate_criteria_run():
     probs = jnp.asarray(_rand_probs((1, 6, 6, 6, 4), seed=6))
     rng = np.random.default_rng(7)

@@ -124,6 +124,101 @@ def test_multi_vs_single_device_equivalence(tmp_path):
     np.testing.assert_allclose(m1["loss"], m8["loss"], rtol=1e-4)
 
 
+def test_grad_accum_matches_full_batch(tmp_path):
+    """grad_accum (lax.scan micro-batching) must implement its definition:
+    the mean of per-micro-batch gradients with interleaved rows ({r : r %
+    ga == j}) and per-micro dropout keys — which is exactly the
+    reference's DDP semantics (per-GPU loss on local rows, averaged
+    gradients, train.py:134) when micro-batch == per-GPU batch.  Checked
+    tightly against a python-loop oracle; the single full-batch pass is
+    only NEAR-equal (the dice losses couple the batch through global
+    sums), checked loosely."""
+    import optax
+    from dctseg.config import tiny_model_config
+    from dctseg.losses import CRITERIA, total_loss
+    from dctseg.models.clswiseformer import build_model
+    from dctseg.train.trainer import TrainState, make_train_step
+
+    model = build_model(tiny_model_config(img_dim=16, top_num=2))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 16, 4)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, 4, size=(4, 16, 16, 16)), jnp.uint8)
+    edge = jnp.asarray(rng.integers(0, 8, size=(4, 16, 16, 16)), jnp.uint8)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda k: model.init(
+        {"params": k, "dropout": k},
+        x[:1], train=True))(key)
+    crit = CRITERIA["softmax_dice"]
+    tx = optax.sgd(1e-2)
+
+    def run(ga):
+        step = jax.jit(make_train_step(model, tx, crit, grad_accum=ga))
+        st = TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+        return step(st, x, tgt, edge, key)
+
+    st1, m1 = run(1)
+
+    # oracle for ga=2: python-loop mean of micro-gradients, same row
+    # interleave and key split as the scan path
+    def loss_fn(p, xm, tm, em, k):
+        outs = model.apply(p, xm, train=True, rngs={"dropout": k})
+        return total_loss(outs, tm.astype(jnp.int32),
+                          em.astype(jnp.int32), crit)["loss"]
+    keys = jax.random.split(key, 2)
+    grad = jax.jit(jax.grad(loss_fn))
+    gs = [grad(params, x[j::2], tgt[j::2], edge[j::2], keys[j])
+          for j in range(2)]
+    want = jax.tree.map(lambda a, b: (a + b) / 2, *gs)
+    expect_params = optax.apply_updates(
+        params, tx.update(want, tx.init(params), params)[0])
+
+    st2, m2 = run(2)
+    for a, b in zip(jax.tree.leaves(expect_params),
+                    jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-7)
+    # metrics cover the same rows (row order restored after the scan)
+    np.testing.assert_array_equal(np.asarray(m2["pred_counts"]),
+                                  np.asarray(m1["pred_counts"]))
+    np.testing.assert_allclose(m2["dice_wt"], m1["dice_wt"], rtol=1e-4)
+    # near-equality vs one full-batch pass (batch-coupled dice sums make
+    # this approximate by construction, not a bug)
+    np.testing.assert_allclose(m2["loss"], m1["loss"], rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(st1.params),
+                    jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-4)
+
+
+def test_grad_accum_multi_device_equivalence(tmp_path):
+    """grad_accum's micro-batch reshape must stay shard-local under real
+    meshes (each device's contiguous row block contributes bs/ga rows to
+    every micro-batch): the same global batch with grad_accum=2 must give
+    the same loss on 1 device, on an 8-device data mesh, and on a dp x sp
+    (4x2) spatially-sharded mesh."""
+    assert jax.device_count() >= 8
+    t1 = _tiny_trainer(tmp_path / "a", num_devices=1, samples=16,
+                       batch_size=16, grad_accum=2)
+    t8 = _tiny_trainer(tmp_path / "b", num_devices=8, samples=16,
+                       batch_size=2, grad_accum=2)
+    tsp = _tiny_trainer(tmp_path / "c", num_devices=8, samples=16,
+                        batch_size=4, grad_accum=2, spatial_shards=2)
+    assert t1.global_batch == t8.global_batch == tsp.global_batch == 16
+    t1.init_state()
+    for t in (t8, tsp):
+        t.init_state()
+        t.state = t.state._replace(params=jax.device_put(
+            jax.tree.map(np.asarray, t1.state.params),
+            jax.tree.leaves(t.state.params)[0].sharding))
+    m1 = t1.train_epoch(0)
+    np.testing.assert_allclose(t8.train_epoch(0)["loss"], m1["loss"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(tsp.train_epoch(0)["loss"], m1["loss"],
+                               rtol=1e-4)
+
+
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     tr = _tiny_trainer(tmp_path, end_epoch=1)
     tr.init_state()
