@@ -20,7 +20,36 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _wait_for_accelerator(max_attempts=8, probe_timeout=240):
+    """Ride out axon-relay outages before touching jax in this process.
+
+    Backend setup over the relay has two observed failure modes: a hard
+    ``RuntimeError: Unable to initialize backend 'axon': UNAVAILABLE`` and
+    an indefinite hang — and jax memoizes backend-init failures, so the
+    probe must run in a THROWAWAY subprocess (with a timeout to bound the
+    hang case).  Retries keep the round's bench artifact alive through a
+    transient outage; after max_attempts the real init runs anyway and
+    surfaces the true error."""
+    import subprocess
+    for attempt in range(max_attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            detail = err[-1][:160] if err else f"exit {r.returncode}"
+        except subprocess.TimeoutExpired:
+            detail = f"probe hung >{probe_timeout}s"
+        print(f"bench: accelerator probe {attempt + 1}/{max_attempts} "
+              f"failed ({detail}); retrying in 60s", file=sys.stderr,
+              flush=True)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_accelerator()
     import jax
     from dctseg.utils.jax_setup import enable_compile_cache
     enable_compile_cache()
