@@ -90,6 +90,13 @@ class ModelConfig:
     # FLOPs); "fine" = depth_to_space + (4,4,4,C,8C) stride-2 conv (2.37x
     # logical FLOPs).  Chosen by measurement on the chip (docs/PERF.md).
     conv3_strategy: str = "dense"
+    # "int8": dynamic post-training quantization of the MXU-bound 3^3 convs
+    # (dense-s2d stages + >=64-input-channel direct stages) — s8 x s8 -> s32
+    # on the v5e int8 MXU path (2x the bf16 peak), dequantized per call.
+    # Inference-only (round() has zero gradient; the Trainer rejects it);
+    # checkpoints stay f32 and identical (pure execution strategy).  Opt-in:
+    # changes eval numerics, so parity modes keep "none".  dctseg/ops/quant.py.
+    quantize: str = "none"
 
     @property
     def geometry(self) -> dict:

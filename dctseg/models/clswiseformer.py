@@ -73,7 +73,8 @@ class ClsWiseFormer(nn.Module):
                                 init_dropout=cfg.init_conv_dropout, dtype=dt,
                                 remat=cfg.remat, s2d=cfg.s2d_fullres,
                                 s2d_half=cfg.s2d_halfres,
-                                conv3=cfg.conv3_strategy)
+                                conv3=cfg.conv3_strategy,
+                                quantize=cfg.quantize)
         # edge decouple (cls_wise_former.py:273, 284-300); with s2d_halfres
         # the half-res skip arrives in the s2d view, so the stride-2 conv
         # runs there too (same params, down_kernel transform)
@@ -84,12 +85,14 @@ class ClsWiseFormer(nn.Module):
             Conv3d(cfg.base_channels * 2, stride=2, dtype=dt,
                    name="conv_64_to_32"))
         self.conv_mid = {r: Conv3d(g["edge_ch"], dtype=dt,
+                                   quantize=cfg.quantize,
                                    name=f"conv_mid_fea_{r}") for r in REGIONS}
         self.act_mid = {r: InstanceNormAct(eps=cfg.norm_eps,
                                            name=f"act_mid_{r}")
                         for r in REGIONS}
         # semantic decouple (:314-328)
         self.conv_sem = {r: Conv3d(g["sem_ch"], dtype=dt,
+                                   quantize=cfg.quantize,
                                    name=f"conv_semantic_{r}") for r in REGIONS}
         self.act_sem = {r: InstanceNormAct(eps=cfg.norm_eps,
                                            name=f"act_sem_{r}")
@@ -129,11 +132,12 @@ class ClsWiseFormer(nn.Module):
             8, 4, dtype=dt, name="mid_edge_supervise_label")
 
         self.sum_fusion = Conv3d(g["bottleneck_ch"], dtype=dt,
-                                 name="sum_fusion")
+                                 quantize=cfg.quantize, name="sum_fusion")
         self.decoder = Decoder(g["bottleneck_ch"], cfg.num_classes, dtype=dt,
                                remat=cfg.remat, s2d=cfg.s2d_fullres,
                                s2d_half=cfg.s2d_halfres,
-                               conv3=cfg.conv3_strategy, name="decoder")
+                               conv3=cfg.conv3_strategy,
+                               quantize=cfg.quantize, name="decoder")
 
     def _route(self, tokens: jnp.ndarray, query: jnp.ndarray,
                class_token: jnp.ndarray, pe: PositionalEncoding,

@@ -20,19 +20,55 @@ torch_kernel_init = nn.initializers.variance_scaling(
     1.0 / 3.0, "fan_in", "uniform")
 
 
+class ConvParams(nn.Module):
+    """Declares kernel/bias with nn.Conv's names/shapes/init so alternate
+    execution paths (s2d weight transforms, int8 PTQ) share checkpoint
+    layout with their plain counterparts (instantiate with name="Conv_0")."""
+    features: int
+    in_features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel_size
+        shape = ((k, k, k, self.in_features, self.features)
+                 if isinstance(k, int) else tuple(k) +
+                 (self.in_features, self.features))
+        kernel = self.param("kernel", torch_kernel_init, shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class Conv3d(nn.Module):
-    """3D convolution on NDHWC with torch-style explicit padding."""
+    """3D convolution on NDHWC with torch-style explicit padding.
+
+    ``quantize="int8"`` routes MXU-bound instances (3^3 kernel with >=64
+    input channels — the quarter-res/bottleneck stages, where bf16 already
+    reaches ~18 TF/s and only the int8 MXU path is faster) through the
+    dynamic-PTQ conv (dctseg/ops/quant.py); thinner convs stay float, as
+    their cost is lane padding, not MXU rate.  Param tree is identical
+    either way (checkpoint-compatible execution strategy)."""
     features: int
     kernel_size: int = 3
     stride: int = 1
     padding: int = 1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
         p = self.padding
+        if (self.quantize == "int8" and k == 3 and x.shape[-1] >= 64
+                and self.use_bias):
+            from dctseg.ops.quant import conv3d_int8
+            kernel, bias = ConvParams(self.features, x.shape[-1], k,
+                                      name="Conv_0")()
+            y = conv3d_int8(x.astype(self.dtype), kernel,
+                            (self.stride,) * 3, ((p, p),) * 3)
+            return y + bias.astype(y.dtype)
         return nn.Conv(
             features=self.features,
             kernel_size=(k, k, k),

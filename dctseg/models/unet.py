@@ -19,7 +19,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from dctseg.models.layers import Conv3d, ConvTranspose3d, torch_kernel_init
+from dctseg.models.layers import (Conv3d, ConvParams, ConvTranspose3d,
+                                  torch_kernel_init)
 from dctseg.ops import s2d as s2dops
 from dctseg.ops.norms import instance_norm, leaky_relu
 
@@ -34,23 +35,9 @@ from dctseg.ops.norms import instance_norm, leaky_relu
 # checkpoints are interchangeable and the strategy is a pure config flag.
 
 
-class _ConvParams(nn.Module):
-    """Declares kernel/bias with nn.Conv's names/shapes/init so the s2d
-    modules share checkpoint layout with their plain counterparts."""
-    features: int
-    in_features: int
-    kernel_size: int = 3
-
-    @nn.compact
-    def __call__(self):
-        k = self.kernel_size
-        shape = ((k, k, k, self.in_features, self.features)
-                 if isinstance(k, int) else tuple(k) +
-                 (self.in_features, self.features))
-        kernel = self.param("kernel", torch_kernel_init, shape, jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          jnp.float32)
-        return kernel, bias
+# param declaration shared with the plain modules (moved to layers.py so
+# the quantized Conv3d path can reuse it)
+_ConvParams = ConvParams
 
 
 class S2DConv3d(nn.Module):
@@ -66,6 +53,9 @@ class S2DConv3d(nn.Module):
     groups: tuple = ()
     dtype: jnp.dtype = jnp.float32
     conv3: str = "dense"
+    quantize: str = "none"   # "int8": the 3^3 stride-1 conv (the MXU-bound
+    # one: contraction 27*8Ci) runs dynamic-PTQ int8 (dctseg/ops/quant.py);
+    # stride-2/pointwise instances stay float (bandwidth-bound)
 
     @nn.compact
     def __call__(self, x8):
@@ -82,7 +72,7 @@ class S2DConv3d(nn.Module):
         if self.stride == 2:
             y = s2dops.conv3d_s2d(x8, s2dops.down_kernel(w), padding=(1, 0))
             return y + b
-        y = s2dops.conv3x3_s2d(x8, w, self.conv3)
+        y = s2dops.conv3x3_s2d(x8, w, self.conv3, self.quantize)
         return y + s2dops.tile_bias(b)
 
 
@@ -108,17 +98,18 @@ class _EnBlockS2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
     conv3: str = "dense"
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x):
         y = s2dops.instance_norm_s2d(x, self.eps)
         y = nn.relu(y)
         y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
-                      name="conv1")(y)
+                      quantize=self.quantize, name="conv1")(y)
         y = s2dops.instance_norm_s2d(y, self.eps)
         y = nn.relu(y)
         y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
-                      name="conv2")(y)
+                      quantize=self.quantize, name="conv2")(y)
         return y + x
 
 
@@ -128,14 +119,15 @@ class _EnBlock2S2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
     conv3: str = "dense"
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x):
         y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
-                      name="conv1")(x)
+                      quantize=self.quantize, name="conv1")(x)
         y = leaky_relu(s2dops.instance_norm_s2d(y, self.eps))
         y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
-                      name="conv2")(y)
+                      quantize=self.quantize, name="conv2")(y)
         y = leaky_relu(s2dops.instance_norm_s2d(y, self.eps))
         return y + x
 
@@ -145,15 +137,18 @@ class _EnBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x):
         y = instance_norm(x, self.eps)
         y = nn.relu(y)
-        y = Conv3d(self.channels, dtype=self.dtype, name="conv1")(y)
+        y = Conv3d(self.channels, dtype=self.dtype,
+                   quantize=self.quantize, name="conv1")(y)
         y = instance_norm(y, self.eps)
         y = nn.relu(y)
-        y = Conv3d(self.channels, dtype=self.dtype, name="conv2")(y)
+        y = Conv3d(self.channels, dtype=self.dtype,
+                   quantize=self.quantize, name="conv2")(y)
         return y + x
 
 
@@ -165,12 +160,15 @@ class _EnBlock2(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        y = Conv3d(self.channels, dtype=self.dtype, name="conv1")(x)
+        y = Conv3d(self.channels, dtype=self.dtype,
+                   quantize=self.quantize, name="conv1")(x)
         y = leaky_relu(instance_norm(y, self.eps))
-        y = Conv3d(self.channels, dtype=self.dtype, name="conv2")(y)
+        y = Conv3d(self.channels, dtype=self.dtype,
+                   quantize=self.quantize, name="conv2")(y)
         y = leaky_relu(instance_norm(y, self.eps))
         return y + x
 
@@ -189,6 +187,8 @@ class UnetEncoder(nn.Module):
     s2d_half: bool = True  # likewise for the half-res stage (x2_1 returned
                            # in the s2d view); independent of `s2d`
     conv3: str = "dense"   # 3^3 conv strategy on s2d views (see ops/s2d.py)
+    quantize: str = "none"  # "int8": dynamic PTQ for the MXU-bound 3^3
+    # convs (dense-s2d stages + >=64ch direct stages); inference-only
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -197,7 +197,7 @@ class UnetEncoder(nn.Module):
             EnBlock = nn.remat(_EnBlockS2D) if self.remat else _EnBlockS2D
             x = s2dops.space_to_depth(x.astype(self.dtype))
             x = S2DConv3d(b0, dtype=self.dtype, conv3=self.conv3,
-                          name="init_conv")(x)
+                          quantize=self.quantize, name="init_conv")(x)
             # spatial dropout zeroes whole fine channels: reshape so the
             # mask broadcasts over (coarse spatial, block offsets)
             n, d, h, w, cb = x.shape
@@ -207,9 +207,9 @@ class UnetEncoder(nn.Module):
                            deterministic=not train)(x)
             x = x.reshape(n, d, h, w, cb)
             x1_1 = EnBlock(b0, dtype=self.dtype, conv3=self.conv3,
-                           name="en1_a")(x)
+                           quantize=self.quantize, name="en1_a")(x)
             x1_1 = EnBlock(b0, dtype=self.dtype, conv3=self.conv3,
-                           name="en1_b")(x1_1)
+                           quantize=self.quantize, name="en1_b")(x1_1)
             x = S2DConv3d(b0 * 2, stride=2, dtype=self.dtype,
                           name="down1")(x1_1)
         else:
@@ -231,9 +231,9 @@ class UnetEncoder(nn.Module):
             EnBlockH = nn.remat(_EnBlockS2D) if self.remat else _EnBlockS2D
             x = s2dops.space_to_depth(x)
             x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, conv3=self.conv3,
-                            name="en2_a")(x)
+                            quantize=self.quantize, name="en2_a")(x)
             x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, conv3=self.conv3,
-                            name="en2_b")(x2_1)
+                            quantize=self.quantize, name="en2_b")(x2_1)
             x = S2DConv3d(b0 * 4, stride=2, dtype=self.dtype,
                           name="down2")(x2_1)
         else:
@@ -242,15 +242,21 @@ class UnetEncoder(nn.Module):
             x = Conv3d(b0 * 4, stride=2, dtype=self.dtype,
                        name="down2")(x2_1)
 
-        x3_1 = EnBlock(b0 * 4, dtype=self.dtype, name="en3_a")(x)
-        x3_1 = EnBlock(b0 * 4, dtype=self.dtype, name="en3_b")(x3_1)
-        x = Conv3d(b0 * 8, stride=2, dtype=self.dtype, name="down3")(x3_1)
+        x3_1 = EnBlock(b0 * 4, dtype=self.dtype,
+                       quantize=self.quantize, name="en3_a")(x)
+        x3_1 = EnBlock(b0 * 4, dtype=self.dtype,
+                       quantize=self.quantize, name="en3_b")(x3_1)
+        x = Conv3d(b0 * 8, stride=2, dtype=self.dtype,
+                   quantize=self.quantize, name="down3")(x3_1)
 
-        x4_1 = EnBlock(b0 * 8, dtype=self.dtype, name="en4_a")(x)
-        x4_1 = EnBlock(b0 * 8, dtype=self.dtype, name="en4_b")(x4_1)
+        x4_1 = EnBlock(b0 * 8, dtype=self.dtype,
+                       quantize=self.quantize, name="en4_a")(x)
+        x4_1 = EnBlock(b0 * 8, dtype=self.dtype,
+                       quantize=self.quantize, name="en4_b")(x4_1)
         # stride-1 widening conv ("EnDownTo8" with stride=1,
         # Unet_skipconnection.py:70-77,109)
-        x4_1 = Conv3d(b0 * 16, stride=1, dtype=self.dtype, name="widen")(x4_1)
+        x4_1 = Conv3d(b0 * 16, stride=1, dtype=self.dtype,
+                      quantize=self.quantize, name="widen")(x4_1)
         return x1_1, x2_1, x3_1, x4_1
 
 
@@ -307,6 +313,7 @@ class Decoder(nn.Module):
                          # in the s2d view (UnetEncoder(s2d=True))
     s2d_half: bool = True  # half-res stage likewise; x2_1 in the s2d view
     conv3: str = "dense"   # 3^3 conv strategy on s2d views (see ops/s2d.py)
+    quantize: str = "none"  # see UnetEncoder
 
     @nn.compact
     def __call__(self, x1_1, x2_1, x3_1, x):
@@ -314,20 +321,24 @@ class Decoder(nn.Module):
         e = self.embedding_dim
         x8 = Conv3d(e // 2, kernel_size=1, padding=0, dtype=self.dtype,
                     name="down_channel")(x)
-        x8 = EnBlock2(e // 2, dtype=self.dtype, name="enblock8_1")(x8)
-        x8 = EnBlock2(e // 2, dtype=self.dtype, name="enblock8_2")(x8)
+        x8 = EnBlock2(e // 2, dtype=self.dtype,
+                      quantize=self.quantize, name="enblock8_1")(x8)
+        x8 = EnBlock2(e // 2, dtype=self.dtype,
+                      quantize=self.quantize, name="enblock8_2")(x8)
 
         y4 = DeUpCat(e // 4, dtype=self.dtype, name="deup4")(x8, x3_1)
-        y4 = EnBlock2(e // 4, dtype=self.dtype, name="deblock4")(y4)
-        y4 = EnBlock2(e // 4, dtype=self.dtype, name="deblock4_1")(y4)
+        y4 = EnBlock2(e // 4, dtype=self.dtype,
+                      quantize=self.quantize, name="deblock4")(y4)
+        y4 = EnBlock2(e // 4, dtype=self.dtype,
+                      quantize=self.quantize, name="deblock4_1")(y4)
 
         if self.s2d_half:
             Block2H = nn.remat(_EnBlock2S2D) if self.remat else _EnBlock2S2D
             y3 = DeUpCatS2D(e // 8, dtype=self.dtype, name="deup3")(y4, x2_1)
             y3 = Block2H(e // 8, dtype=self.dtype, conv3=self.conv3,
-                         name="deblock3")(y3)
+                         quantize=self.quantize, name="deblock3")(y3)
             y3 = Block2H(e // 8, dtype=self.dtype, conv3=self.conv3,
-                         name="deblock3_1")(y3)
+                         quantize=self.quantize, name="deblock3_1")(y3)
             # back to the plain grid: deup2's 1x1 + upsample read fine chans
             y3 = s2dops.depth_to_space(y3)
         else:
@@ -340,9 +351,9 @@ class Decoder(nn.Module):
             y2 = DeUpCatS2D(e // 16, dtype=self.dtype,
                             name="deup2")(y3, x1_1)
             y2 = Block2(e // 16, dtype=self.dtype, conv3=self.conv3,
-                        name="deblock2")(y2)
+                        quantize=self.quantize, name="deblock2")(y2)
             y2 = Block2(e // 16, dtype=self.dtype, conv3=self.conv3,
-                        name="deblock2_1")(y2)
+                        quantize=self.quantize, name="deblock2_1")(y2)
             y = S2DConv3d(self.num_classes, kernel_size=1,
                           dtype=self.dtype, name="endconv")(y2)
             y = s2dops.depth_to_space(y)
@@ -371,6 +382,7 @@ class PlainUnet(nn.Module):
     s2d: bool = True
     s2d_half: bool = True
     conv3: str = "dense"
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -379,10 +391,10 @@ class PlainUnet(nn.Module):
                           init_dropout=self.init_dropout, dtype=self.dtype,
                           remat=self.remat, s2d=self.s2d,
                           s2d_half=self.s2d_half, conv3=self.conv3,
-                          name="unet")
+                          quantize=self.quantize, name="unet")
         x1_1, x2_1, x3_1, bottleneck = enc(x, train=train)
         dec = Decoder(self.base_channels * 16, self.num_classes,
                       dtype=self.dtype, remat=self.remat, s2d=self.s2d,
                       s2d_half=self.s2d_half, conv3=self.conv3,
-                      name="decoder")
+                      quantize=self.quantize, name="decoder")
         return dec(x1_1, x2_1, x3_1, bottleneck)

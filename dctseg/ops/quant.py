@@ -1,0 +1,76 @@
+"""Dynamic int8 post-training quantization for the MXU-bound 3^3 convs.
+
+The v5e MXU executes int8 x int8 -> int32 at twice the bf16 rate (394
+TOP/s vs 197 TFLOP/s peak), and after the space-to-depth re-expression
+the forward's device time is dominated by dense 3^3 convolutions
+(docs/PERF.md: the s2d full/half-res stages plus the >=64-channel
+quarter-res/bottleneck stages together account for most of the 215 ms
+B=8 eval forward).  This module provides a drop-in quantized execution
+path for exactly those convs:
+
+- weights: symmetric per-OUTPUT-channel int8 (absmax/127), computed at
+  apply time from the f32 parameters — a few MB of VPU work, so
+  checkpoints stay f32 and bit-identical to the unquantized model
+  (``ModelConfig(quantize=...)`` is a pure execution strategy, like
+  ``s2d_fullres``/``conv3_strategy``);
+- activations: dynamic symmetric per-TENSOR int8 (absmax/127 computed
+  on device per call — no calibration pass, robust to input shift);
+- accumulation in int32 (exact), dequantized as ``acc * (sx * sw[c])``.
+
+Error shape: every quantized conv in this model is followed by
+InstanceNorm WITHOUT affine parameters, which is exactly invariant to
+per-channel output scaling — so the per-channel component of the
+quantization error cancels and only the (zero-mean, ~1/2 ulp-of-1/127)
+rounding noise propagates.  Accuracy is therefore measured, not assumed:
+tests bound the probability-map drift on the full model, and eval
+drivers expose the mode opt-in (`--quantize int8`), never by default.
+
+Quantization is inference-only: ``jnp.round`` has a zero gradient, so
+the Trainer rejects quantized configs (training stays bf16/f32).
+
+No reference equivalent (torch repo is fp32/AMP only); cited against the
+serving path it accelerates: predict.py:37-65 sliding-window inference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_QMAX = 127.0
+
+
+def weight_scales(w: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric per-output-channel scales for a DHWIO (or IO) kernel."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)),
+                   axis=tuple(range(w.ndim - 1)))
+    return jnp.maximum(amax, 1e-12) / _QMAX
+
+
+def quantize_symmetric(t: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Round-to-nearest symmetric int8 quantization (scale broadcasts)."""
+    return jnp.clip(jnp.round(t.astype(jnp.float32) / scale),
+                    -_QMAX, _QMAX).astype(jnp.int8)
+
+
+def conv3d_int8(x: jnp.ndarray, w: jnp.ndarray,
+                stride=(1, 1, 1), padding=((1, 1),) * 3) -> jnp.ndarray:
+    """The NDHWC/DHWIO conv executed s8 x s8 -> s32 on the int8 MXU path.
+
+    ``x`` is the float activation (any float dtype), ``w`` the float
+    kernel; returns the dequantized result in ``x.dtype``.  The dynamic
+    per-tensor activation scale costs one absmax reduction plus one
+    quantize pass over ``x`` — measured against the MXU time it saves on
+    the chip (scripts/micro_int8_bench.py, docs/PERF.md) before any conv
+    was routed here.
+    """
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / _QMAX
+    xq = jnp.clip(jnp.round(xf / sx), -_QMAX, _QMAX).astype(jnp.int8)
+    sw = weight_scales(w)
+    wq = quantize_symmetric(w, sw)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, tuple(stride), list(padding),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (sx * sw)).astype(x.dtype)

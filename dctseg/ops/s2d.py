@@ -195,8 +195,15 @@ def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 def conv3d_s2d(x: jnp.ndarray, w8: jnp.ndarray,
                stride: int = 1,
-               padding: Tuple[int, int] = (1, 1)) -> jnp.ndarray:
-    """conv_general_dilated on the s2d view (NDHWC/DHWIO)."""
+               padding: Tuple[int, int] = (1, 1),
+               quantize: str = "none") -> jnp.ndarray:
+    """conv_general_dilated on the s2d view (NDHWC/DHWIO).
+
+    ``quantize="int8"`` executes the conv s8 x s8 -> s32 on the int8 MXU
+    path (dynamic PTQ, dctseg/ops/quant.py) — inference-only."""
+    if quantize == "int8":
+        from dctseg.ops.quant import conv3d_int8
+        return conv3d_int8(x, w8, (stride,) * 3, (padding,) * 3)
     return jax.lax.conv_general_dilated(
         x, w8.astype(x.dtype), (stride,) * 3, (padding,) * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
@@ -204,15 +211,19 @@ def conv3d_s2d(x: jnp.ndarray, w8: jnp.ndarray,
 
 
 def conv3x3_s2d(x8: jnp.ndarray, w: jnp.ndarray,
-                strategy: str = None) -> jnp.ndarray:
+                strategy: str = None,
+                quantize: str = "none") -> jnp.ndarray:
     """The 3^3 stride-1 SAME conv on the s2d view.  ``w`` is the FINE
     (3,3,3,Ci,Co) kernel; ``strategy`` defaults to :data:`CONV3_STRATEGY`.
 
     "auto" picks per channel width from the v5e measurements in docs/PERF.md:
     "fine" wins for Ci >= 32 (XLA's strided-conv emitter reaches ~50 TF/s raw
-    there, beating dense's 8x arithmetic), "dense" for narrower inputs."""
+    there, beating dense's 8x arithmetic), "dense" for narrower inputs.
+
+    ``quantize="int8"`` applies to the dense strategy (the MXU-bound one:
+    contraction 27*8Ci); the fine strategy stays float."""
     strategy = strategy or CONV3_STRATEGY
     ci = w.shape[3]
     if strategy == "fine" or (strategy == "auto" and ci >= 32):
         return conv3d_fine_s2dout(depth_to_space(x8), fine_conv_kernel(w))
-    return conv3d_s2d(x8, conv_kernel(w), padding=(1, 1))
+    return conv3d_s2d(x8, conv_kernel(w), padding=(1, 1), quantize=quantize)

@@ -166,6 +166,12 @@ class Trainer:
         assert cfg.train.batch_size % cfg.train.grad_accum == 0, (
             f"per-device batch {cfg.train.batch_size} not divisible by "
             f"grad_accum {cfg.train.grad_accum}")
+        # int8 PTQ is inference-only: round() has a zero gradient, so a
+        # quantized train step would silently stop learning through every
+        # quantized conv
+        assert cfg.model.quantize == "none", (
+            "ModelConfig.quantize is an inference-only execution strategy; "
+            "train in float/bf16 and quantize at eval")
         self.loader = PrefetchLoader(
             self.dataset,
             batch_size=self.global_batch // self.num_processes,

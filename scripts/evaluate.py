@@ -60,6 +60,10 @@ def parse_args(argv=None):
                    help="fp32 compute (default bf16: the fp32 B=8 batched "
                         "forward exceeds 16GB HBM on v5e)")
     p.add_argument("--pallas-attention", action="store_true")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8: dynamic post-training quantization of the "
+                        "MXU-bound convs (v5e int8 MXU runs 2x bf16 peak); "
+                        "changes numerics, so parity evals keep 'none'")
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="multi-chip eval: shard each volume's D axis over "
                         "this many devices; TTA/tiling variants also fan "
@@ -99,7 +103,7 @@ def main(argv=None):
     mcfg = ModelConfig(
         img_dim=a.img_dim, base_channels=a.base_channels,
         compute_dtype="float32" if a.fp32 else "bfloat16",
-        use_pallas_attention=a.pallas_attention,
+        use_pallas_attention=a.pallas_attention, quantize=a.quantize,
         **({} if a.img_dim == 128
            else {"top_num": min(128, (a.img_dim // 16) ** 3)}))
     model = build_model(mcfg)
