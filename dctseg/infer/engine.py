@@ -235,6 +235,39 @@ class Predictor:
             t = self._forward(self.params, xs)
         return self._stitch_fn(t, stitch_mode == "reference")
 
+    @functools.cached_property
+    def _crops_batch_fn(self) -> Callable:
+        """V-volume crop builder: (V, 240, 240, D, M) -> (8V, 128^3, M),
+        volume-major (volume v's crops are rows 8v:8v+8).  Reuses _crops_fn
+        (inlined under this jit) so the safety-critical crop windows have
+        exactly one definition; shape-specialized per V like every jit."""
+        def crops_cat(x):
+            return jnp.concatenate(
+                [self._crops_fn(x[v:v + 1]) for v in range(x.shape[0])],
+                axis=0)
+        return jax.jit(crops_cat)
+
+    def tiled_probs_batch(self, x: jnp.ndarray,
+                          stitch_mode: str = "reference") -> jnp.ndarray:
+        """(V, 240, 240, >=155, M) -> (V, 240, 240, 155, C): V volumes'
+        crops batched through ONE forward program (B=8V).
+
+        Amortizes the per-program dispatch/launch overhead over V volumes —
+        on a high-latency dispatch path (the axon relay pays ~35 ms per
+        forward program regardless of batch, docs/PERF.md "relay ceiling")
+        pairing volumes (V=2) trades HBM headroom for fewer program
+        executions.  Numerics are identical to V calls of tiled_probs
+        (same crop windows, same stitch; the forward is batch-parallel).
+        Throughput-only knob: per-volume latency doubles."""
+        if x.shape[0] == 1:
+            return self.tiled_probs(x, stitch_mode)
+        xs = self._crops_batch_fn(x)
+        t = self._forward(self.params, xs)
+        return jnp.concatenate(
+            [self._stitch_fn(t[8 * v:8 * (v + 1)],
+                             stitch_mode == "reference")
+             for v in range(x.shape[0])], axis=0)
+
     def tiled_tta_probs(self, x: jnp.ndarray,
                         stitch_mode: str = "reference") -> jnp.ndarray:
         """Flip TTA over full tilings (predict_cls.py:184-203 /

@@ -101,6 +101,25 @@ def test_fused_dispatch_matches_staged(tiny_predictor):
                                   np.asarray(pred.tta_probs(xt)))
 
 
+def test_tiled_probs_batch_matches_per_volume():
+    """The V-volume batched tiling path must equal V independent
+    tiled_probs calls (same crops, same stitch, batch-parallel forward)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 240, 240, 160, 4))
+                    .astype(np.float32))
+    pred = Predictor(_PassThrough(), jnp.asarray(0.0))
+    for mode in ("reference", "aligned"):
+        got = np.asarray(pred.tiled_probs_batch(x, mode))
+        want = np.concatenate([
+            np.asarray(pred.tiled_probs(x[v:v + 1], mode))
+            for v in range(2)], axis=0)
+        np.testing.assert_array_equal(got, want)
+    # V=1 falls through to the single-volume path
+    np.testing.assert_array_equal(
+        np.asarray(pred.tiled_probs_batch(x[:1])),
+        np.asarray(pred.tiled_probs(x[:1])))
+
+
 def test_ensemble_average():
     x = jnp.ones((1, 240, 240, 160, 4))
     pred = Predictor(_PassThrough(), jnp.asarray(0.0))
