@@ -118,6 +118,12 @@ def test_tiled_probs_batch_matches_per_volume():
     np.testing.assert_array_equal(
         np.asarray(pred.tiled_probs_batch(x[:1])),
         np.asarray(pred.tiled_probs(x[:1])))
+    # microbatch splits the B=16 forward without changing the result
+    # (HBM-headroom fallback when B=8V does not fit)
+    pred_mb = Predictor(_PassThrough(), jnp.asarray(0.0), microbatch=8)
+    np.testing.assert_array_equal(
+        np.asarray(pred_mb.tiled_probs_batch(x)),
+        np.asarray(pred.tiled_probs_batch(x)))
 
 
 def test_ensemble_average():
