@@ -20,7 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _wait_for_accelerator(max_attempts=8, probe_timeout=240):
+def _wait_for_accelerator(max_attempts=36, probe_timeout=240):
     """Ride out axon-relay outages before touching jax in this process.
 
     Backend setup over the relay has two observed failure modes: a hard
@@ -28,8 +28,9 @@ def _wait_for_accelerator(max_attempts=8, probe_timeout=240):
     an indefinite hang — and jax memoizes backend-init failures, so the
     probe must run in a THROWAWAY subprocess (with a timeout to bound the
     hang case).  Retries keep the round's bench artifact alive through a
-    transient outage; after max_attempts the real init runs anyway and
-    surfaces the true error."""
+    transient outage (observed outages exceed 100 minutes, so the budget
+    is ~3 h); after max_attempts the real init runs anyway and surfaces
+    the true error."""
     import subprocess
     for attempt in range(max_attempts):
         try:
