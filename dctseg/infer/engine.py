@@ -196,28 +196,41 @@ class Predictor:
             return self.model.apply(p, self._crops_fn(x), train=False)[0]
         return jax.jit(crops_fwd)
 
+    @staticmethod
+    def _stitch_volume(t, stitch_ref: bool):
+        """(8, 128^3, C) crop outputs -> (240, 240, 155, C) volume.
+
+        Stitch-back (predict.py:56-63): later crops overwrite the
+        16-voxel H/W overlap with their inner region.  The single
+        definition serves the per-volume jit and the V-volume vmap."""
+        c = t.shape[-1]
+        y = jnp.zeros((240, 240, 155, c), t.dtype)
+        y = y.at[:128, :128, :128].set(t[0])
+        y = y.at[:128, 128:240, :128].set(t[1, :, 16:128, :])
+        y = y.at[128:240, :128, :128].set(t[2, 16:128, :, :])
+        y = y.at[128:240, 128:240, :128].set(t[3, 16:128, 16:128, :])
+        lo, hi = (96, 123) if stitch_ref else (101, 128)
+        y = y.at[:128, :128, 128:155].set(t[4, :, :, lo:hi])
+        y = y.at[:128, 128:240, 128:155].set(t[5, :, 16:128, lo:hi])
+        y = y.at[128:240, :128, 128:155].set(t[6, 16:128, :, lo:hi])
+        y = y.at[128:240, 128:240, 128:155].set(
+            t[7, 16:128, 16:128, lo:hi])
+        return y
+
     @functools.cached_property
     def _stitch_fn(self) -> Callable:
-        def stitch(t, stitch_ref: bool):
-            c = t.shape[-1]
-            y = jnp.zeros((1, 240, 240, 155, c), t.dtype)
-            # stitch-back (predict.py:56-63): later crops overwrite the
-            # 16-voxel H/W overlap with their inner region
-            y = y.at[:, :128, :128, :128].set(t[0:1])
-            y = y.at[:, :128, 128:240, :128].set(t[1:2, :, 16:128, :])
-            y = y.at[:, 128:240, :128, :128].set(t[2:3, 16:128, :, :])
-            y = y.at[:, 128:240, 128:240, :128].set(
-                t[3:4, 16:128, 16:128, :])
-            lo, hi = (96, 123) if stitch_ref else (101, 128)
-            y = y.at[:, :128, :128, 128:155].set(t[4:5, :, :, lo:hi])
-            y = y.at[:, :128, 128:240, 128:155].set(
-                t[5:6, :, 16:128, lo:hi])
-            y = y.at[:, 128:240, :128, 128:155].set(
-                t[6:7, 16:128, :, lo:hi])
-            y = y.at[:, 128:240, 128:240, 128:155].set(
-                t[7:8, 16:128, 16:128, lo:hi])
-            return y
-        return jax.jit(stitch, static_argnums=1)
+        return jax.jit(lambda t, ref: self._stitch_volume(t, ref)[None],
+                       static_argnums=1)
+
+    @functools.cached_property
+    def _stitch_batch_fn(self) -> Callable:
+        """(8V, 128^3, C) volume-major crop outputs -> (V, 240, 240, 155, C)
+        in ONE program (vs V per-volume stitch dispatches)."""
+        def stitch_batch(t, stitch_ref: bool):
+            tv = t.reshape(-1, 8, *t.shape[1:])
+            return jax.vmap(Predictor._stitch_volume,
+                            in_axes=(0, None))(tv, stitch_ref)
+        return jax.jit(stitch_batch, static_argnums=1)
 
     def tiled_probs(self, x: jnp.ndarray,
                     stitch_mode: str = "reference") -> jnp.ndarray:
@@ -263,10 +276,7 @@ class Predictor:
             return self.tiled_probs(x, stitch_mode)
         xs = self._crops_batch_fn(x)
         t = self._forward(self.params, xs)
-        return jnp.concatenate(
-            [self._stitch_fn(t[8 * v:8 * (v + 1)],
-                             stitch_mode == "reference")
-             for v in range(x.shape[0])], axis=0)
+        return self._stitch_batch_fn(t, stitch_mode == "reference")
 
     def tiled_tta_probs(self, x: jnp.ndarray,
                         stitch_mode: str = "reference") -> jnp.ndarray:
