@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Export an AOT serving bundle (serialized StableHLO, weights embedded).
+
+The deployment counterpart of the eval drivers: where the reference ships
+model code + a ``.pth`` and rebuilds the module on the serving host
+(predict_simple.py:283-300), this emits a self-contained program bundle
+(dctseg/infer/serving.py) that any jax host replays bit-identically —
+no Flax, no model code, no checkpoint at load time.
+
+Examples:
+  python scripts/export_serving.py --checkpoint-dir checkpoints \\
+      --strategy tiling --out bundles/tiling_bf16
+  python scripts/export_serving.py --strategy tta --input-shape 128 128 128 \\
+      --platforms tpu cpu --out bundles/tta_portable
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", required=True, help="bundle output directory")
+    p.add_argument("--strategy", default="tiling",
+                   choices=["single", "tta", "tiling"])
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="checkpoint epoch to embed (default: latest)")
+    p.add_argument("--random-params", action="store_true",
+                   help="skip checkpoint loading (smoke runs)")
+    p.add_argument("--img-dim", type=int, default=128)
+    p.add_argument("--base-channels", type=int, default=16)
+    p.add_argument("--fp32", action="store_true",
+                   help="fp32 compute (default bf16, the eval default)")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8 PTQ execution strategy (ModelConfig.quantize)")
+    p.add_argument("--input-shape", type=int, nargs=3, default=None,
+                   metavar=("D", "H", "W"),
+                   help="volume spatial shape the bundle accepts "
+                        "(default: 240 240 160 for tiling; required for "
+                        "single/tta)")
+    p.add_argument("--stitch-mode", default="reference",
+                   choices=["reference", "aligned"])
+    p.add_argument("--platforms", nargs="+", default=None,
+                   help="export platforms, e.g. --platforms tpu cpu "
+                        "(default: current platform only)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from dctseg.utils.jax_setup import enable_compile_cache
+    enable_compile_cache()
+    from dctseg.config import ModelConfig
+    from dctseg.infer.engine import Predictor
+    from dctseg.infer.serving import export_bundle
+    from dctseg.models.clswiseformer import build_model
+    from dctseg.train.checkpoint import Checkpointer
+    from dctseg.train.trainer import ocp_abstract
+
+    mcfg = ModelConfig(
+        img_dim=a.img_dim, base_channels=a.base_channels,
+        compute_dtype="float32" if a.fp32 else "bfloat16",
+        quantize=a.quantize,
+        **({} if a.img_dim == 128
+           else {"top_num": min(128, (a.img_dim // 16) ** 3)}))
+    model = build_model(mcfg)
+    d = mcfg.img_dim
+    x0 = jnp.zeros((1, d, d, d, mcfg.in_channels))
+    params = jax.jit(lambda k: model.init(k, x0, train=False))(
+        jax.random.PRNGKey(0))
+
+    if not a.random_params:
+        ckpt = Checkpointer(a.checkpoint_dir)
+        abstract = jax.tree.map(ocp_abstract, params)
+        epoch = a.epoch if a.epoch is not None else ckpt.latest_epoch()
+        if epoch is None:
+            print(f"no checkpoint found in {a.checkpoint_dir}; "
+                  "pass --random-params to export anyway", file=sys.stderr)
+            return 1
+        params = ckpt.restore_params(epoch, abstract)
+        print(f"embedding checkpoint epoch {epoch}")
+
+    manifest = export_bundle(
+        Predictor(model, params), a.out, strategy=a.strategy,
+        input_shape=tuple(a.input_shape) if a.input_shape else None,
+        in_channels=mcfg.in_channels, stitch_mode=a.stitch_mode,
+        platforms=a.platforms)
+    size = sum(os.path.getsize(os.path.join(a.out, f))
+               for f in os.listdir(a.out))
+    print(f"exported {a.strategy} bundle to {a.out} "
+          f"({size / 1e6:.1f} MB, platforms={manifest['platforms']})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _measure_paired(pf, vols, depth, round_vps, jnp, time):
+def _measure_paired(pf, vols, depth, round_vps, jnp, time, label="bf16"):
     """V=2 paired tiling (tiled_probs_batch): two volumes' crops in ONE
     B=16 forward program — halves the per-program relay overhead per
     volume.  Correctness vs the per-volume path on the chip, then
@@ -31,13 +31,13 @@ def _measure_paired(pf, vols, depth, round_vps, jnp, time):
     vols2 = [jnp.concatenate(vols[i:i + 2], axis=0) for i in (0, 2)]
     t0 = time.perf_counter()
     yp = pf.tiled_probs_batch(vols2[0]); float(yp[0, 0, 0, 0, 0])
-    print(f"V=2 paired compile+first: {time.perf_counter()-t0:.1f}s",
-          flush=True)
+    print(f"[{label}] V=2 paired compile+first: "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
     err = float(jnp.max(jnp.abs(
         yp - jnp.concatenate([pf.tiled_probs(vols[0]),
                               pf.tiled_probs(vols[1])], axis=0))))
-    print(f"tiled_probs_batch V=2 max |err| vs per-volume: {err:.2e}",
-          flush=True)
+    print(f"[{label}] tiled_probs_batch V=2 max |err| vs per-volume: "
+          f"{err:.2e}", flush=True)
 
     def round_vps2(n_calls: int) -> float:
         inflight = []
@@ -56,11 +56,11 @@ def _measure_paired(pf, vols, depth, round_vps, jnp, time):
         a = round_vps(pf.tiled_probs, 6)
         b = round_vps2(3)
         pairs2.append((a, b))
-        print(f"pair {k}: per-volume {a:.3f} vol/s | V=2 paired {b:.3f} "
-              f"vol/s | speedup {b/a:.3f}x", flush=True)
+        print(f"[{label}] pair {k}: per-volume {a:.3f} vol/s | V=2 paired "
+              f"{b:.3f} vol/s | speedup {b/a:.3f}x", flush=True)
     wins = sum(b > a for a, b in pairs2)
-    print(f"V=2 paired wins {wins}/{len(pairs2)} pairs; best paired "
-          f"{max(b for _, b in pairs2):.3f} vol/s, best per-volume "
+    print(f"[{label}] V=2 paired wins {wins}/{len(pairs2)} pairs; best "
+          f"paired {max(b for _, b in pairs2):.3f} vol/s, best per-volume "
           f"{max(a for a, _ in pairs2):.3f} vol/s", flush=True)
 
 
@@ -134,9 +134,18 @@ def main():
     # volume.  Correctness vs per-volume path on the chip, then pairwise
     # throughput (2 volumes per call -> n_iters counts volumes).
     try:
-        _measure_paired(pf, vols, depth, round_vps, jnp, time)
+        _measure_paired(pf, vols, depth, round_vps, jnp, time, label="bf16")
     except Exception as e:
-        print(f"V=2 paired probe failed: {type(e).__name__}: "
+        print(f"bf16 V=2 paired probe failed: {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+
+    # int8 + paired composes both levers (the B=16 int8 executable is the
+    # same one the B=16 probe below compiles, so this costs no extra
+    # compile beyond the throughput rounds).
+    try:
+        _measure_paired(pq, vols, depth, round_vps, jnp, time, label="int8")
+    except Exception as e:
+        print(f"int8 V=2 paired probe failed: {type(e).__name__}: "
               f"{str(e)[:200]}", flush=True)
 
     # --- B=16 forward probe: would pairing two volumes' crops into ONE
