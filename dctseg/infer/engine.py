@@ -281,12 +281,14 @@ class Predictor:
     def tiled_tta_probs(self, x: jnp.ndarray,
                         stitch_mode: str = "reference") -> jnp.ndarray:
         """Flip TTA over full tilings (predict_cls.py:184-203 /
-        predict.py TTA path): 8 flips x 8 crops = 64 forwards, softmax mean."""
+        predict.py TTA path): 8 flips x 8 crops = 64 forwards per volume,
+        softmax mean.  Accepts V volumes — each flip variant batches all
+        V volumes' crops through one B=8V forward (tiled_probs_batch)."""
         x = x[:, :, :, :155]
         acc = None
         for c in FLIP_COMBOS:
             xf = jax.lax.rev(x, c) if c else x
-            y = self.tiled_probs(xf, stitch_mode)
+            y = self.tiled_probs_batch(xf, stitch_mode)
             y = jax.lax.rev(y, c) if c else y
             y = jax.nn.softmax(y.astype(jnp.float32), axis=-1)
             acc = y if acc is None else acc + y

@@ -44,14 +44,29 @@ def validate_softmax(
         postprocess: bool = False,
         device_metrics: bool = True,
         hd95_mode: str = "reference",
+        paired: int = 1,
 ) -> Dict[str, float]:
     """``hd95_mode``: 'reference' reproduces the reference's batched-mask
     medpy quirk (parity with its headline numbers, predict_simple.py:393,408);
     'surface' is the corrected 3-D surface-distance HD95 (see
-    :func:`dctseg.metrics.cal_hausdorff`)."""
+    :func:`dctseg.metrics.cal_hausdorff`).
+
+    ``paired``: volumes per dispatched program.  ``paired=V`` groups V
+    volumes into one forward (B=8V for the tiling engines via
+    ``tiled_probs_batch``) — amortizes per-program dispatch overhead for
+    throughput-oriented runs like checkpoint sweeps, at the cost of V×
+    per-volume latency and HBM (measured V=3 optimum in bf16 on a 16 GB
+    v5e, docs/PERF.md "Paired tiling"; numerics identical to per-volume).
+    Supported for 'tiling', 'tiling_tta', and 'single'; 'tta' stays
+    per-volume."""
     if hd95_mode not in ("reference", "surface"):
         raise ValueError(f"hd95_mode must be 'reference' or 'surface', "
                          f"got {hd95_mode!r}")
+    paired = max(1, int(paired))
+    if paired > 1 and strategy == "tta":
+        raise ValueError("paired>1 is not supported for strategy 'tta' "
+                         "(full-volume flip TTA operates per volume); use "
+                         "tiling, tiling_tta, or single")
     batched_call_shape = hd95_mode == "reference"
     wt, tc, et = [], [], []
     h_wt, h_tc, h_et = [], [], []
@@ -67,21 +82,25 @@ def validate_softmax(
                 if device_metrics and not postprocess else None)
 
     def run(x):
+        # tiled_probs_batch falls through to the single-volume engine at
+        # V=1, so the per-volume and paired paths share one code path
         if strategy == "tta":
             return predictor.tta_probs(x)
         if strategy == "single":
             return predictor.seg_probs(x)
         if strategy == "tiling":
-            return predictor.tiled_probs(x, stitch_mode)
+            return predictor.tiled_probs_batch(x, stitch_mode)
         if strategy == "tiling_tta":
             return predictor.tiled_tta_probs(x, stitch_mode)
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    def predict(batch):
-        """Dispatch prediction; returns an async device array of labels.
-        argmax on device transfers a uint8 volume instead of the float32
-        probability tensor (8x smaller; the host here is slow)."""
-        x = jnp.asarray(batch.x)
+    def predict(batches):
+        """Dispatch one program over a group of volumes; returns an async
+        device array of labels (V, ...).  argmax on device transfers uint8
+        volumes instead of the float32 probability tensor (8x smaller; the
+        host here is slow)."""
+        x = (jnp.concatenate([jnp.asarray(b.x) for b in batches], axis=0)
+             if len(batches) > 1 else jnp.asarray(batches[0].x))
         if param_sets:
             probs = ensemble_probs(lambda: run(x), predictor, param_sets)
         else:
@@ -89,30 +108,43 @@ def validate_softmax(
         return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
 
     def stream():
-        """One-volume pipeline: volume i+1 computes on device while the
-        host evaluates metrics for volume i (jax dispatch is async).
-        Ensembling swaps parameters between volumes, so it stays
-        sequential."""
+        """Group-of-``paired`` pipeline: group i+1 computes on device while
+        the host evaluates metrics for group i (jax dispatch is async).
+        Ensembling swaps parameters between dispatches, so it stays
+        sequential.  Each yielded item carries its group's dispatch time
+        and size so per-volume runtimes stay a faithful mean."""
         pipelined = not param_sets
-        pending = None
-        for batch in loader:
-            t0 = time.time()
-            out_dev = predict(batch)
-            if not pipelined:
-                out_dev = np.asarray(out_dev)
-            if pending is not None:
-                yield pending
-            pending = (batch, out_dev, t0)
-        if pending is not None:
-            yield pending
 
-    for i, (batch, out_dev, t0) in enumerate(stream()):
+        def dispatch(group):
+            t0 = time.time()
+            out = predict(group)
+            if not pipelined:
+                out = np.asarray(out)
+            return [(b, out[j:j + 1], t0, len(group))
+                    for j, b in enumerate(group)]
+
+        pending, group = [], []
+        for batch in loader:
+            group.append(batch)
+            if len(group) == paired:
+                items = dispatch(group)
+                group = []
+                yield from pending
+                pending = items
+        if group:  # remainder group smaller than ``paired``
+            items = dispatch(group)
+            yield from pending
+            pending = items
+        yield from pending
+
+    for i, (batch, out_dev, t0, vshare) in enumerate(stream()):
         name = batch.names[0]
         output = np.asarray(out_dev)[0].astype(np.int32)
-        # t0 is taken at dispatch and the result fetched one iteration later
+        # t0 is taken at dispatch and the result fetched one group later
         # (see stream()), so each per-volume runtime folds in the overlapped
-        # host work — exact as a mean over the run, approximate per volume
-        runtimes.append(time.time() - t0)
+        # host work and an equal share of its group — exact as a mean over
+        # the run, approximate per volume
+        runtimes.append((time.time() - t0) / vshare)
 
         target = batch.target[0]
         if strategy in ("tiling", "tiling_tta"):

@@ -48,6 +48,12 @@ def parse_args(argv=None):
                         "medpy quirk (its headline HD95 numbers); 'surface' "
                         "is the corrected 3-D surface-distance HD95 (see "
                         "dctseg.metrics.cal_hausdorff)")
+    p.add_argument("--paired", type=int, default=1, metavar="V",
+                   help="volumes per dispatched program (tiling/tiling_tta/"
+                        "single): V volumes' crops batch through one B=8V "
+                        "forward — throughput for sweeps at Vx per-volume "
+                        "latency+HBM (bf16 V=3 optimum on 16GB v5e, "
+                        "docs/PERF.md 'Paired tiling')")
     p.add_argument("--multimodel", action="store_true",
                    help="ensemble over the newest 4 checkpoints "
                         "(predict_cls.py:147-174)")
@@ -197,7 +203,7 @@ def main(argv=None):
         snapshot=a.snapshot, csv_export=a.csv,
         save_nifti=a.save_nifti, visual=os.path.join(a.output_dir, "visual"),
         param_sets=param_sets, stitch_mode=a.stitch_mode,
-        postprocess=a.postprocess)
+        postprocess=a.postprocess, paired=a.paired)
 
 
 if __name__ == "__main__":

@@ -126,6 +126,36 @@ def test_tiled_probs_batch_matches_per_volume():
         np.asarray(pred.tiled_probs_batch(x)))
 
 
+def test_validate_paired_matches_per_volume():
+    """validate_softmax(paired=V) groups volumes into one B=8V program
+    (incl. a remainder group smaller than V) without changing any metric:
+    the paired path is the same crops/stitch, batch-parallel forward."""
+    pred = Predictor(_PassThrough(), jnp.asarray(0.0))
+    cfg = DataConfig(synthetic_num_samples=3)  # 3 volumes -> groups [2, 1]
+    ds = BraTSDataset(mode="full", cfg=cfg)
+
+    def run(paired):
+        loader = PrefetchLoader(ds, batch_size=1, shuffle=False,
+                                num_workers=1)
+        return validate_softmax(loader, pred, strategy="tiling",
+                                use_hd95=False, paired=paired)
+
+    base, paired = run(1), run(2)
+    for k in ("wt", "tc", "et", "miou_wt", "miou_tc", "miou_et"):
+        np.testing.assert_allclose(paired[k], base[k], atol=0, err_msg=k)
+    # flip TTA over tilings also supports V volumes per flip program
+    x2 = jnp.asarray(np.stack([ds[i].x for i in range(2)]))
+    got = np.asarray(pred.tiled_tta_probs(x2))
+    want = np.concatenate([np.asarray(pred.tiled_tta_probs(x2[v:v + 1]))
+                           for v in range(2)], axis=0)
+    np.testing.assert_array_equal(got, want)
+    # full-volume flip TTA stays per-volume
+    with pytest.raises(ValueError, match="paired"):
+        run_loader = PrefetchLoader(ds, batch_size=1, shuffle=False,
+                                    num_workers=1)
+        validate_softmax(run_loader, pred, strategy="tta", paired=2)
+
+
 def test_ensemble_average():
     x = jnp.ones((1, 240, 240, 160, 4))
     pred = Predictor(_PassThrough(), jnp.asarray(0.0))
