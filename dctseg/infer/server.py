@@ -1,0 +1,250 @@
+"""HTTP serving host over AOT bundles (dctseg/infer/serving.py).
+
+The reference has no serving story at all — its closest analogue is
+re-running an eval driver per request (test_simple.py -> predict_simple
+validate_softmax over a directory).  This module completes the deployment
+path the bundles open up: a long-lived process that loads one serialized
+bundle (program + weights, no model code, no checkpoint) and answers
+volume -> segmentation over HTTP.  stdlib-only on the host side
+(``http.server``); the device side is the bundle's AOT programs, so there
+is no per-request compilation and no warmup cliff beyond the first
+constant transfer.
+
+Protocol (v1, numpy ``.npy`` payloads — dense float volumes gain nothing
+from JSON, and every client with numpy can speak it):
+
+- ``GET  /healthz``      -> ``{"status": "ok", "requests": N, ...}``
+- ``GET  /v1/manifest``  -> the bundle's MANIFEST.json
+- ``POST /v1/predict``   -> body: ``.npy`` of shape ``(D, H, W, M)`` or
+  ``(1, D, H, W, M)`` matching the bundle's input spec; response: ``.npy``.
+  Query params: ``output=labels`` (default; uint8 argmax, the submission
+  payload) or ``output=probs`` (the strategy's probability tensor);
+  ``preprocess=1`` applies the training pipeline's per-modality nonzero
+  z-score (dctseg/data/brats.py:55) so raw intensity volumes can be posted
+  directly.
+
+One TPU serves all requests: the handler pool is threaded (keeps socket
+IO and npy decode off the device's critical path) but ``predict`` runs
+under a device lock, so concurrent clients queue for the chip rather than
+interleave programs.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from dctseg.infer.serving import ServingBundle
+
+log = logging.getLogger("dctseg.serve")
+
+# Volumes are big (240x240x160x4 fp32 = 147 MB) but bounded; refuse
+# anything past a generous ceiling so a bad client can't OOM the host.
+MAX_BODY_BYTES = 1 << 30
+
+
+class RequestError(ValueError):
+    """Client error -> HTTP 400 with a JSON message."""
+
+
+def _decode_npy(body: bytes) -> np.ndarray:
+    try:
+        return np.load(io.BytesIO(body), allow_pickle=False)
+    except Exception as e:  # noqa: BLE001 - anything here is a bad payload
+        raise RequestError(f"body is not a valid .npy payload: {e}") from e
+
+
+def _encode_npy(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(arr), allow_pickle=False)
+    return buf.getvalue()
+
+
+class BundleServer:
+    """A ``ServingBundle`` behind a threaded stdlib HTTP server.
+
+    ``port=0`` binds an ephemeral port (read it back from ``.port``) —
+    the shape tests use.  ``serve_forever()`` blocks; ``shutdown()`` from
+    another thread stops it.
+    """
+
+    def __init__(self, bundle: ServingBundle, host: str = "127.0.0.1",
+                 port: int = 8000, *, warmup: bool = True):
+        self.bundle = bundle
+        self._device_lock = threading.Lock()
+        self._requests = 0
+        self._last_latency_s: Optional[float] = None
+        self._started = time.time()
+        if warmup:
+            self._warmup()
+        handler = self._make_handler()
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._httpd.daemon_threads = True
+        self._serving = False
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def host(self) -> str:
+        return self._httpd.server_address[0]
+
+    def serve_forever(self) -> None:
+        log.info("serving %s bundle on http://%s:%d (input %s %s)",
+                 self.bundle.strategy, self.host, self.port,
+                 self.bundle.manifest["input_shape"],
+                 self.bundle.manifest["input_dtype"])
+        self._serving = True
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        # BaseServer.shutdown() blocks on the serve_forever loop's exit
+        # event, which is only ever set by the loop — calling it on a
+        # server that never served would hang forever.
+        if self._serving:
+            self._httpd.shutdown()
+        self._httpd.server_close()
+
+    def _warmup(self) -> None:
+        """Run one labels() on zeros: transfers the embedded constants and
+        primes both device programs (the bundle's AOT stages and the argmax
+        jit) so the first client request pays only its own compute — over
+        the relay a cold compile costs seconds, measured on the chip."""
+        m = self.bundle.manifest
+        x = np.zeros((1, *m["input_shape"], m["in_channels"]),
+                     np.dtype(m["input_dtype"]))
+        t0 = time.time()
+        np.asarray(self.bundle.labels(x))
+        log.info("warmup predict: %.2f s", time.time() - t0)
+
+    # -- request handling --------------------------------------------------
+
+    def _predict(self, body: bytes, output: str,
+                 preprocess: bool) -> Tuple[bytes, float]:
+        x = _decode_npy(body)
+        if x.ndim == 4:
+            x = x[None]
+        m = self.bundle.manifest
+        want = (1, *m["input_shape"], m["in_channels"])
+        if tuple(x.shape) != want:
+            raise RequestError(
+                f"bundle expects input shape {want} (or without the "
+                f"leading 1), got {tuple(x.shape)}")
+        if not np.issubdtype(x.dtype, np.floating) and not np.issubdtype(
+                x.dtype, np.integer):
+            raise RequestError(f"unsupported input dtype {x.dtype}")
+        if preprocess:
+            from dctseg.data.brats import zscore_nonzero
+            x = np.stack([zscore_nonzero(x[0, ..., c])
+                          for c in range(x.shape[-1])], axis=-1)[None]
+        t0 = time.time()
+        with self._device_lock:
+            if output == "labels":
+                out = np.asarray(self.bundle.labels(x))
+            else:
+                out = np.asarray(self.bundle.predict(x))
+        latency = time.time() - t0
+        self._last_latency_s = latency
+        return _encode_npy(out), latency
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # route to our logger
+                log.debug("%s - %s", self.address_string(), fmt % args)
+
+            def _reply(self, code: int, payload: bytes,
+                       ctype: str = "application/json",
+                       extra_headers=()) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                for k, v in extra_headers:
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def _reply_json(self, code: int, obj) -> None:
+                self._reply(code, json.dumps(obj).encode())
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    self._reply_json(200, {
+                        "status": "ok",
+                        "strategy": server.bundle.strategy,
+                        "requests": server._requests,
+                        "last_latency_s": server._last_latency_s,
+                        "uptime_s": round(time.time() - server._started, 3),
+                    })
+                elif path == "/v1/manifest":
+                    self._reply_json(200, server.bundle.manifest)
+                else:
+                    self._reply_json(404, {"error": f"no route {path}"})
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                length = int(self.headers.get("Content-Length", 0))
+                if length < 0 or length > MAX_BODY_BYTES:
+                    # can't afford to drain this one: close the connection
+                    self.close_connection = True
+                    self._reply_json(
+                        400, {"error": f"Content-Length must be in "
+                                       f"[0, {MAX_BODY_BYTES}], got {length}"})
+                    return
+                # drain the body before any error reply — answering on a
+                # keep-alive socket with unread request bytes breaks the
+                # client's write (EPIPE) and desyncs the connection
+                body = self.rfile.read(length)
+                if url.path != "/v1/predict":
+                    self._reply_json(404, {"error": f"no route {url.path}"})
+                    return
+                q = parse_qs(url.query)
+                output = q.get("output", ["labels"])[0]
+                if output not in ("labels", "probs"):
+                    self._reply_json(
+                        400, {"error": f"output must be labels|probs, "
+                                       f"got {output!r}"})
+                    return
+                preprocess = q.get("preprocess", ["0"])[0] in ("1", "true")
+                if length == 0:
+                    self._reply_json(400, {"error": "empty request body"})
+                    return
+                try:
+                    payload, latency = server._predict(
+                        body, output, preprocess)
+                except RequestError as e:
+                    self._reply_json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001 - surface, don't die
+                    log.exception("predict failed")
+                    self._reply_json(500, {"error": f"{type(e).__name__}: "
+                                                    f"{e}"})
+                    return
+                server._requests += 1
+                log.info("predict %s: %.3f s", output, latency)
+                self._reply(200, payload, "application/x-npy",
+                            [("X-Latency-Ms", f"{latency * 1e3:.1f}")])
+
+        return Handler
+
+
+def serve_bundle(bundle_dir: str, host: str = "127.0.0.1", port: int = 8000,
+                 *, warmup: bool = True) -> BundleServer:
+    """Load ``bundle_dir`` and return a ready (not yet serving) server."""
+    return BundleServer(ServingBundle.load(bundle_dir), host, port,
+                        warmup=warmup)

@@ -124,6 +124,131 @@ def test_cross_platform_export_lowers_for_tpu(tiny_predictor, tmp_path):
                                rtol=1e-4, atol=1e-6)
 
 
+# -- HTTP serving host (dctseg/infer/server.py) ----------------------------
+
+
+def _http(url, body=None):
+    import urllib.request
+    req = urllib.request.Request(url, data=body, method="POST" if body
+                                 else "GET")
+    with urllib.request.urlopen(req) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def _http_err(url, body=None):
+    import urllib.error
+    import urllib.request
+    req = urllib.request.Request(url, data=body, method="POST" if body
+                                 else "GET")
+    try:
+        with urllib.request.urlopen(req):
+            raise AssertionError("expected an HTTP error")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _npy_bytes(arr):
+    import io
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(arr))
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def served(tiny_predictor, tmp_path_factory):
+    import threading
+    from dctseg.infer.server import BundleServer
+    pred, x = tiny_predictor
+    out = str(tmp_path_factory.mktemp("srv") / "bundle")
+    export_bundle(pred, out, strategy="single", input_shape=x.shape[1:4])
+    bundle = ServingBundle.load(out)
+    server = BundleServer(bundle, port=0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{server.port}", bundle, np.asarray(x)
+    server.shutdown()
+
+
+def test_server_health_and_manifest(served):
+    base, bundle, _ = served
+    status, _, body = _http(base + "/healthz")
+    health = json.loads(body)
+    assert status == 200 and health["status"] == "ok"
+    assert health["strategy"] == "single"
+    status, _, body = _http(base + "/v1/manifest")
+    assert status == 200 and json.loads(body) == bundle.manifest
+
+
+def test_server_predict_labels_and_probs(served):
+    import io
+    base, bundle, x = served
+    status, headers, body = _http(base + "/v1/predict", _npy_bytes(x))
+    assert status == 200
+    assert headers["Content-Type"] == "application/x-npy"
+    assert "X-Latency-Ms" in headers
+    labels = np.load(io.BytesIO(body))
+    np.testing.assert_array_equal(labels, np.asarray(bundle.labels(x)))
+    assert labels.dtype == np.uint8
+    # probs output, and a 4-D body (no leading batch dim) is accepted
+    status, _, body = _http(base + "/v1/predict?output=probs",
+                            _npy_bytes(x[0]))
+    probs = np.load(io.BytesIO(body))
+    np.testing.assert_array_equal(probs, np.asarray(bundle.predict(x)))
+
+
+def test_server_preprocess_applies_pipeline_zscore(served):
+    import io
+    from dctseg.data.brats import zscore_nonzero
+    base, bundle, x = served
+    rng = np.random.default_rng(7)
+    raw = (rng.uniform(50, 500, size=x.shape).astype(np.float32)
+           * (rng.uniform(size=x.shape) > 0.3))  # zeros stay background
+    status, _, body = _http(base + "/v1/predict?output=probs&preprocess=1",
+                            _npy_bytes(raw))
+    assert status == 200
+    normed = np.stack([zscore_nonzero(raw[0, ..., c])
+                       for c in range(raw.shape[-1])], axis=-1)[None]
+    np.testing.assert_array_equal(np.load(io.BytesIO(body)),
+                                  np.asarray(bundle.predict(normed)))
+
+
+def test_server_rejects_bad_requests(served):
+    base, _, x = served
+    code, err = _http_err(base + "/v1/predict",
+                          _npy_bytes(np.zeros((1, 8, 8, 8, 4), np.float32)))
+    assert code == 400 and "shape" in err["error"]
+    code, err = _http_err(base + "/v1/predict", b"not an npy payload")
+    assert code == 400 and "npy" in err["error"]
+    code, err = _http_err(base + "/v1/predict?output=midi", _npy_bytes(x))
+    assert code == 400 and "output" in err["error"]
+    code, _ = _http_err(base + "/nope")
+    assert code == 404
+    code, _ = _http_err(base + "/v1/other", _npy_bytes(x))
+    assert code == 404
+
+
+def test_serve_cli_parse_and_helper(tiny_predictor, tmp_path):
+    """Driver wiring: scripts/serve.py flags + the load-from-dir helper."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "serve_cli",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "serve.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    a = cli.parse_args(["--bundle", "b", "--port", "0", "--no-warmup"])
+    assert a.bundle == "b" and a.port == 0 and a.no_warmup
+
+    pred, x = tiny_predictor
+    out = str(tmp_path / "bundle")
+    export_bundle(pred, out, strategy="single", input_shape=x.shape[1:4])
+    from dctseg.infer.server import serve_bundle
+    server = serve_bundle(out, port=0, warmup=False)
+    try:
+        assert server.port > 0
+        assert server.bundle.strategy == "single"
+    finally:
+        server.shutdown()
+
+
 def test_export_serving_cli(tmp_path):
     """Driver wiring: random-params smoke export of a tiny single bundle."""
     import importlib.util
