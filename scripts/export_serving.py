@@ -41,6 +41,14 @@ def parse_args(argv=None):
                    help="volume spatial shape the bundle accepts "
                         "(default: 240 240 160 for tiling; required for "
                         "single/tta)")
+    p.add_argument("--input-dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="wire dtype the bundle accepts. float16 halves the "
+                        "host->device bytes per request (the dominant "
+                        "serving cost on bandwidth-poor paths) and is cast "
+                        "to the compute dtype at the model's first op — for "
+                        "the bf16 eval default this is the same "
+                        "approximation class as DataConfig.transfer_dtype")
     p.add_argument("--stitch-mode", default="reference",
                    choices=["reference", "aligned"])
     p.add_argument("--platforms", nargs="+", default=None,
@@ -88,8 +96,8 @@ def main(argv=None):
     manifest = export_bundle(
         Predictor(model, params), a.out, strategy=a.strategy,
         input_shape=tuple(a.input_shape) if a.input_shape else None,
-        in_channels=mcfg.in_channels, stitch_mode=a.stitch_mode,
-        platforms=a.platforms)
+        in_channels=mcfg.in_channels, input_dtype=jnp.dtype(a.input_dtype),
+        stitch_mode=a.stitch_mode, platforms=a.platforms)
     size = sum(os.path.getsize(os.path.join(a.out, f))
                for f in os.listdir(a.out))
     print(f"exported {a.strategy} bundle to {a.out} "

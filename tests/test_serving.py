@@ -109,6 +109,28 @@ def test_export_validates_strategy_and_shape(tiny_predictor, tmp_path):
                       input_shape=(128, 128, 128))
 
 
+def test_f16_wire_bundle_matches_live_engine(tiny_predictor, tmp_path):
+    """float16 wire format: the bundle accepts (and casts callers' arrays
+    to) f16, halving the host->device bytes per request; the model casts
+    to its compute dtype at the first op (clswiseformer.py:168), so the
+    only delta vs the f32 bundle is the input quantization — the same
+    approximation class as DataConfig.transfer_dtype='bfloat16'."""
+    pred, x = tiny_predictor
+    out = str(tmp_path / "f16")
+    manifest = export_bundle(pred, out, strategy="single",
+                             input_shape=x.shape[1:4],
+                             input_dtype=jnp.float16)
+    assert manifest["input_dtype"] == "float16"
+    bundle = ServingBundle.load(out)
+    # an f32 caller array is accepted (cast host-side before transfer)
+    got = np.asarray(bundle.predict(x))
+    want = np.asarray(pred.seg_probs(jnp.asarray(x, jnp.float16)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+    # and the quantization delta vs the f32 path stays input-noise sized
+    ref = np.asarray(pred.seg_probs(x))
+    assert np.max(np.abs(got - ref)) < 5e-3
+
+
 def test_cross_platform_export_lowers_for_tpu(tiny_predictor, tmp_path):
     """A CPU build host can emit a TPU-servable artifact (multi-platform
     lowering); the CPU leg of the same bundle stays bit-identical."""
