@@ -28,6 +28,8 @@ Layout on disk::
       forward.jaxexp    serialized Exported per stage (strategy-dependent)
       crops.jaxexp / stitch.jaxexp            [tiling]
       flips.jaxexp / unflip_mean.jaxexp       [tta]
+      crops_flip{0..7}.jaxexp / stitch.jaxexp
+        / unflip_mean.jaxexp                  [tiling_tta]
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from dctseg.infer.engine import Predictor
+from dctseg.infer.engine import FLIP_COMBOS, Predictor
 
 MANIFEST_NAME = "MANIFEST.json"
 _FORMAT = 1
@@ -70,17 +72,16 @@ def export_bundle(predictor: Predictor, out_dir: str, *,
     """
     from jax import export as jx
 
-    if strategy not in ("single", "tta", "tiling"):
-        raise ValueError(f"unsupported serving strategy {strategy!r} "
-                         "(tiling_tta composes a tiling bundle host-side)")
+    if strategy not in ("single", "tta", "tiling", "tiling_tta"):
+        raise ValueError(f"unsupported serving strategy {strategy!r}")
     if input_shape is None:
-        if strategy != "tiling":
+        if strategy not in ("tiling", "tiling_tta"):
             raise ValueError("input_shape (D, H, W) is required for "
                              f"strategy {strategy!r}")
         input_shape = (240, 240, 160)
     input_shape = tuple(int(s) for s in input_shape)
-    if strategy == "tiling" and (input_shape[:2] != (240, 240)
-                                 or input_shape[2] < 155):
+    if strategy in ("tiling", "tiling_tta") and (input_shape[:2] != (240, 240)
+                                                 or input_shape[2] < 155):
         raise ValueError("tiling windows are fixed to the BraTS "
                          "240x240x(>=155) geometry (predict.py:40-47), got "
                          f"{input_shape}")
@@ -110,7 +111,7 @@ def export_bundle(predictor: Predictor, out_dir: str, *,
         exported["unflip_mean"] = ex(predictor._unflip_mean_fn,
                                      _spec(probs.shape, probs.dtype))
         out_aval = exported["unflip_mean"].out_avals[0]
-    else:  # tiling
+    elif strategy == "tiling":
         exported["crops"] = ex(predictor._crops_fn, vol)
         batch = _spec(exported["crops"].out_avals[0].shape, input_dtype)
         exported["forward"] = ex(fwd, batch)
@@ -120,12 +121,47 @@ def export_bundle(predictor: Predictor, out_dir: str, *,
             lambda t: Predictor._stitch_volume(t, stitch_ref)[None])
         exported["stitch"] = ex(stitch, _spec(probs.shape, probs.dtype))
         out_aval = exported["stitch"].out_avals[0]
+    else:  # tiling_tta: flip TTA over full tilings (engine.tiled_tta_probs)
+        # 8 flip-folded crop builders share ONE forward and stitch program;
+        # a final static program unflips and softmax-means the 8 stitched
+        # tilings.  The flip is folded into the crop stage (lax.rev on the
+        # 155-truncated volume, exactly the live engine's order) so the 8
+        # heavy dispatches reuse the same B=8 forward executable — the same
+        # staged structure that keeps the TPU compiler happy live.
+        for i, combo in enumerate(FLIP_COMBOS):
+            def crops_flip(x, c=combo):
+                xf = x[:, :, :, :155]
+                xf = jax.lax.rev(xf, c) if c else xf
+                return predictor._crops_fn(xf)
+            exported[f"crops_flip{i}"] = ex(jax.jit(crops_flip), vol)
+        batch = _spec(exported["crops_flip0"].out_avals[0].shape, input_dtype)
+        exported["forward"] = ex(fwd, batch)
+        probs = exported["forward"].out_avals[0]
+        stitch_ref = stitch_mode == "reference"
+        stitch = jax.jit(
+            lambda t: Predictor._stitch_volume(t, stitch_ref)[None])
+        exported["stitch"] = ex(stitch, _spec(probs.shape, probs.dtype))
+        sv = exported["stitch"].out_avals[0]
+
+        def unflip_mean(ys):  # (8, 240, 240, 155, C) in FLIP_COMBOS order
+            acc = None
+            for i, c in enumerate(FLIP_COMBOS):
+                y = ys[i][None]
+                y = jax.lax.rev(y, c) if c else y
+                y = jax.nn.softmax(y.astype(jnp.float32), axis=-1)
+                acc = y if acc is None else acc + y
+            return acc / len(FLIP_COMBOS)
+
+        exported["unflip_mean"] = ex(jax.jit(unflip_mean),
+                                     _spec((8, *sv.shape[1:]), sv.dtype))
+        out_aval = exported["unflip_mean"].out_avals[0]
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = {
         "format": _FORMAT,
         "strategy": strategy,
-        "stitch_mode": stitch_mode if strategy == "tiling" else None,
+        "stitch_mode": (stitch_mode
+                        if strategy in ("tiling", "tiling_tta") else None),
         "input_shape": list(input_shape),
         "in_channels": in_channels,
         "input_dtype": jnp.dtype(input_dtype).name,
@@ -191,6 +227,11 @@ class ServingBundle:
         if s == "tta":
             return self._p["unflip_mean"].call(
                 self._p["forward"].call(self._p["flips"].call(x)))
+        if s == "tiling_tta":
+            ys = [self._p["stitch"].call(self._p["forward"].call(
+                      self._p[f"crops_flip{i}"].call(x)))[0]
+                  for i in range(len(FLIP_COMBOS))]
+            return self._p["unflip_mean"].call(jnp.stack(ys))
         return self._p["stitch"].call(
             self._p["forward"].call(self._p["crops"].call(x)))
 

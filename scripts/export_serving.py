@@ -24,7 +24,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", required=True, help="bundle output directory")
     p.add_argument("--strategy", default="tiling",
-                   choices=["single", "tta", "tiling"])
+                   choices=["single", "tta", "tiling", "tiling_tta"])
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--epoch", type=int, default=None,
                    help="checkpoint epoch to embed (default: latest)")

@@ -80,6 +80,27 @@ def test_tiling_bundle_matches_live_engine(tmp_path, stitch_mode):
         np.asarray(pred.tiled_probs(x, stitch_mode)))
 
 
+def test_tiling_tta_bundle_matches_live_engine(tmp_path):
+    """tiling_tta bundles: 8 flip-folded crop programs share one forward +
+    stitch; a static unflip-softmax-mean program finishes.  Must reproduce
+    the live engine's flip TTA over full tilings (engine.tiled_tta_probs:
+    rev on the 155-truncated volume, softmax mean in f32)."""
+    pred = Predictor(_PassThrough(), jnp.asarray(0.0))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 240, 240, 160, 4))
+                    .astype(np.float32))
+    out = str(tmp_path / "tiling_tta")
+    manifest = export_bundle(pred, out, strategy="tiling_tta")
+    assert set(manifest["programs"]) == (
+        {f"crops_flip{i}" for i in range(8)}
+        | {"forward", "stitch", "unflip_mean"})
+    assert manifest["stitch_mode"] == "reference"
+    bundle = ServingBundle.load(out)
+    np.testing.assert_allclose(np.asarray(bundle.predict(x)),
+                               np.asarray(pred.tiled_tta_probs(x)),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_bundle_rejects_wrong_shape_and_format(tiny_predictor, tmp_path):
     pred, x = tiny_predictor
     out = str(tmp_path / "single")
@@ -101,7 +122,7 @@ def test_bundle_rejects_wrong_shape_and_format(tiny_predictor, tmp_path):
 def test_export_validates_strategy_and_shape(tiny_predictor, tmp_path):
     pred, _ = tiny_predictor
     with pytest.raises(ValueError, match="strategy"):
-        export_bundle(pred, str(tmp_path / "x"), strategy="tiling_tta")
+        export_bundle(pred, str(tmp_path / "x"), strategy="ensemble")
     with pytest.raises(ValueError, match="input_shape"):
         export_bundle(pred, str(tmp_path / "x"), strategy="tta")
     with pytest.raises(ValueError, match="geometry"):
