@@ -122,8 +122,8 @@ class BundleServer:
         jit) so the first client request pays only its own compute — over
         the relay a cold compile costs seconds, measured on the chip."""
         m = self.bundle.manifest
-        x = np.zeros((1, *m["input_shape"], m["in_channels"]),
-                     np.dtype(m["input_dtype"]))
+        x = np.zeros((m.get("batch_volumes", 1), *m["input_shape"],
+                      m["in_channels"]), np.dtype(m["input_dtype"]))
         t0 = time.time()
         np.asarray(self.bundle.labels(x))
         log.info("warmup predict: %.2f s", time.time() - t0)
@@ -136,18 +136,23 @@ class BundleServer:
         if x.ndim == 4:
             x = x[None]
         m = self.bundle.manifest
-        want = (1, *m["input_shape"], m["in_channels"])
+        v = m.get("batch_volumes", 1)
+        want = (v, *m["input_shape"], m["in_channels"])
         if tuple(x.shape) != want:
             raise RequestError(
-                f"bundle expects input shape {want} (or without the "
-                f"leading 1), got {tuple(x.shape)}")
+                f"bundle expects input shape {want}"
+                + (" (or without the leading 1)" if v == 1 else
+                   f" — a paired bundle takes exactly {v} volumes per "
+                   "request") + f", got {tuple(x.shape)}")
         if not np.issubdtype(x.dtype, np.floating) and not np.issubdtype(
                 x.dtype, np.integer):
             raise RequestError(f"unsupported input dtype {x.dtype}")
         if preprocess:
             from dctseg.data.brats import zscore_nonzero
-            x = np.stack([zscore_nonzero(x[0, ..., c])
-                          for c in range(x.shape[-1])], axis=-1)[None]
+            x = np.stack([
+                np.stack([zscore_nonzero(x[v, ..., c])
+                          for c in range(x.shape[-1])], axis=-1)
+                for v in range(x.shape[0])])
         t0 = time.time()
         with self._device_lock:
             if output == "labels":

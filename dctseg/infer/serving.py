@@ -58,6 +58,7 @@ def export_bundle(predictor: Predictor, out_dir: str, *,
                   in_channels: int = 4,
                   input_dtype=jnp.float32,
                   stitch_mode: str = "reference",
+                  batch_volumes: int = 1,
                   platforms: Optional[Sequence[str]] = None) -> Dict:
     """Export ``predictor``'s ``strategy`` engine to ``out_dir``.
 
@@ -68,12 +69,26 @@ def export_bundle(predictor: Predictor, out_dir: str, *,
     ``platforms`` forwards to ``jax.export`` (e.g. ``("tpu", "cpu")`` for
     an artifact that runs on either); None pins the default platform.
 
+    ``batch_volumes=V`` exports a paired bundle: every request carries V
+    volumes ``(V, D, H, W, M)`` and the tiling forward runs B=8V — the
+    measured throughput optimum on a 16 GB v5e is V=3 bf16 (docs/PERF.md
+    "Paired tiling"; AOT programs are shape-specialized, so the request
+    batch is fixed at export time).  Supported for ``tiling`` and
+    ``single``; the flip-TTA strategies stay per-volume.
+
     Returns the manifest dict (also written to ``MANIFEST.json``).
     """
     from jax import export as jx
 
     if strategy not in ("single", "tta", "tiling", "tiling_tta"):
         raise ValueError(f"unsupported serving strategy {strategy!r}")
+    batch_volumes = int(batch_volumes)
+    if batch_volumes < 1:
+        raise ValueError(f"batch_volumes must be >= 1, got {batch_volumes}")
+    if batch_volumes > 1 and strategy not in ("tiling", "single"):
+        raise ValueError("batch_volumes>1 is supported for 'tiling' and "
+                         f"'single' bundles, not {strategy!r} (flip TTA "
+                         "operates per volume)")
     if input_shape is None:
         if strategy not in ("tiling", "tiling_tta"):
             raise ValueError("input_shape (D, H, W) is required for "
@@ -97,7 +112,7 @@ def export_bundle(predictor: Predictor, out_dir: str, *,
     fwd = jax.jit(
         lambda x: predictor.model.apply(params, x, train=False)[0])
 
-    vol = _spec((1, *input_shape, in_channels), input_dtype)
+    vol = _spec((batch_volumes, *input_shape, in_channels), input_dtype)
     exported: Dict[str, jax.export.Exported] = {}
     if strategy == "single":
         exported["forward"] = ex(fwd, vol)
@@ -112,13 +127,23 @@ def export_bundle(predictor: Predictor, out_dir: str, *,
                                      _spec(probs.shape, probs.dtype))
         out_aval = exported["unflip_mean"].out_avals[0]
     elif strategy == "tiling":
-        exported["crops"] = ex(predictor._crops_fn, vol)
+        # V=1 exports the per-volume crop/stitch programs; V>1 the
+        # volume-major batched ones (engine.tiled_probs_batch's stages) —
+        # one B=8V forward per request
+        crops = (predictor._crops_fn if batch_volumes == 1
+                 else predictor._crops_batch_fn)
+        exported["crops"] = ex(crops, vol)
         batch = _spec(exported["crops"].out_avals[0].shape, input_dtype)
         exported["forward"] = ex(fwd, batch)
         probs = exported["forward"].out_avals[0]
         stitch_ref = stitch_mode == "reference"
-        stitch = jax.jit(
-            lambda t: Predictor._stitch_volume(t, stitch_ref)[None])
+        if batch_volumes == 1:
+            stitch = jax.jit(
+                lambda t: Predictor._stitch_volume(t, stitch_ref)[None])
+        else:
+            stitch = jax.jit(lambda t: jax.vmap(
+                Predictor._stitch_volume, in_axes=(0, None))(
+                    t.reshape(-1, 8, *t.shape[1:]), stitch_ref))
         exported["stitch"] = ex(stitch, _spec(probs.shape, probs.dtype))
         out_aval = exported["stitch"].out_avals[0]
     else:  # tiling_tta: flip TTA over full tilings (engine.tiled_tta_probs)
@@ -164,6 +189,7 @@ def export_bundle(predictor: Predictor, out_dir: str, *,
                         if strategy in ("tiling", "tiling_tta") else None),
         "input_shape": list(input_shape),
         "in_channels": in_channels,
+        "batch_volumes": batch_volumes,
         "input_dtype": jnp.dtype(input_dtype).name,
         "output_shape": [int(s) for s in out_aval.shape],
         "output_dtype": jnp.dtype(out_aval.dtype).name,
@@ -211,7 +237,8 @@ class ServingBundle:
         return self.manifest["strategy"]
 
     def _check(self, x) -> None:
-        want = (1, *self.manifest["input_shape"],
+        want = (self.manifest.get("batch_volumes", 1),
+                *self.manifest["input_shape"],
                 self.manifest["in_channels"])
         if tuple(x.shape) != want:
             raise ValueError(f"bundle expects input shape {want}, got "

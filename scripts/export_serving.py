@@ -49,6 +49,11 @@ def parse_args(argv=None):
                         "to the compute dtype at the model's first op — for "
                         "the bf16 eval default this is the same "
                         "approximation class as DataConfig.transfer_dtype")
+    p.add_argument("--batch-volumes", type=int, default=1,
+                   help="volumes per request (paired bundle): the tiling "
+                        "forward runs B=8V per request; measured optimum "
+                        "V=3 bf16 on a 16 GB v5e (docs/PERF.md 'Paired "
+                        "tiling'). tiling/single only")
     p.add_argument("--stitch-mode", default="reference",
                    choices=["reference", "aligned"])
     p.add_argument("--platforms", nargs="+", default=None,
@@ -97,7 +102,8 @@ def main(argv=None):
         Predictor(model, params), a.out, strategy=a.strategy,
         input_shape=tuple(a.input_shape) if a.input_shape else None,
         in_channels=mcfg.in_channels, input_dtype=jnp.dtype(a.input_dtype),
-        stitch_mode=a.stitch_mode, platforms=a.platforms)
+        stitch_mode=a.stitch_mode, batch_volumes=a.batch_volumes,
+        platforms=a.platforms)
     size = sum(os.path.getsize(os.path.join(a.out, f))
                for f in os.listdir(a.out))
     print(f"exported {a.strategy} bundle to {a.out} "

@@ -80,6 +80,30 @@ def test_tiling_bundle_matches_live_engine(tmp_path, stitch_mode):
         np.asarray(pred.tiled_probs(x, stitch_mode)))
 
 
+def test_paired_tiling_bundle_matches_live_engine(tmp_path):
+    """batch_volumes=V exports the volume-major batched crop/stitch stages
+    (engine.tiled_probs_batch): one B=8V forward per request — the
+    measured paired-tiling throughput optimum carried into serving."""
+    pred = Predictor(_PassThrough(), jnp.asarray(0.0))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 240, 240, 160, 4))
+                    .astype(np.float32))
+    out = str(tmp_path / "paired")
+    manifest = export_bundle(pred, out, strategy="tiling", batch_volumes=2)
+    assert manifest["batch_volumes"] == 2
+    assert tuple(manifest["output_shape"]) == (2, 240, 240, 155, 4)
+    bundle = ServingBundle.load(out)
+    np.testing.assert_array_equal(np.asarray(bundle.predict(x)),
+                                  np.asarray(pred.tiled_probs_batch(x)))
+    # exactly-V volumes per request; a single volume is refused clearly
+    with pytest.raises(ValueError, match="shape"):
+        bundle.predict(x[:1])
+    # flip-TTA strategies stay per-volume
+    with pytest.raises(ValueError, match="batch_volumes"):
+        export_bundle(pred, str(tmp_path / "x"), strategy="tiling_tta",
+                      batch_volumes=2)
+
+
 def test_tiling_tta_bundle_matches_live_engine(tmp_path):
     """tiling_tta bundles: 8 flip-folded crop programs share one forward +
     stitch; a static unflip-softmax-mean program finishes.  Must reproduce
