@@ -333,3 +333,32 @@ def test_export_serving_cli(tmp_path):
     bundle = ServingBundle.load(out)
     y = bundle.predict(jnp.zeros((1, 32, 32, 32, 4)))
     assert y.shape[:4] == (1, 32, 32, 32)
+
+
+def test_export_serving_cli_int8_paired_composition(tmp_path):
+    """The throughput levers compose through the driver: --quantize int8
+    (PTQ execution strategy) x --batch-volumes 2 (paired requests) x
+    --input-dtype float16 (wire format) export one bundle that loads and
+    predicts with jax only."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "export_serving_cli2",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "export_serving.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    out = str(tmp_path / "cli_int8_paired")
+    rc = cli.main(["--out", out, "--strategy", "single", "--random-params",
+                   "--img-dim", "32", "--base-channels", "4",
+                   "--quantize", "int8", "--batch-volumes", "2",
+                   "--input-dtype", "float16",
+                   "--input-shape", "32", "32", "32"])
+    assert rc == 0
+    bundle = ServingBundle.load(out)
+    m = bundle.manifest
+    assert m["batch_volumes"] == 2 and m["input_dtype"] == "float16"
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 32, 32, 32, 4)).astype(np.float32)
+    y = np.asarray(bundle.predict(jnp.asarray(x)))
+    assert y.shape[:4] == (2, 32, 32, 32)
+    assert np.isfinite(y).all()
