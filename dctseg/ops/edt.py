@@ -45,12 +45,25 @@ def _minplus_pass(f: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
-def squared_edt(mask: jnp.ndarray) -> jnp.ndarray:
+def squared_edt(mask: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     """Exact squared Euclidean distance to the nearest True voxel.
 
     ``mask``: bool array, transform runs over the LAST THREE axes (leading
     axes are batch).  All-False masks return :data:`INF` everywhere.
+
+    ``impl``: "xla" (broadcast+reduce min-plus passes), "pallas" (the TPU
+    kernel in dctseg/ops/pallas/minplus.py, measured ~3x faster on v5e —
+    docs/PERF.md), "pallas-interpret" (kernel under the Pallas interpreter,
+    for CPU tests), or "auto" (pallas on TPU, xla elsewhere).  All
+    implementations are bit-identical: every intermediate is an integer
+    below 2^24, exact in float32, and min is order-independent.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl in ("pallas", "pallas-interpret"):
+        from dctseg.ops.pallas import minplus
+        f = jnp.where(mask, jnp.float32(0), INF)
+        return minplus.squared_edt_3d(f, interpret=impl == "pallas-interpret")
     f = jnp.where(mask, jnp.float32(0), INF)
     for axis in (-3, -2, -1):
         f = _minplus_pass(f, axis)

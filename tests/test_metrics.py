@@ -140,6 +140,31 @@ def test_squared_edt_exact_vs_scipy():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_squared_edt_pallas_bit_identical():
+    """The Pallas min-plus kernel (TPU path of squared_edt) matches the XLA
+    implementation bit-for-bit, including batch dims, unaligned extents,
+    tile remainders, unroll tails, and the all-False sentinel."""
+    import jax.numpy as jnp
+    from dctseg.ops import edt
+    from dctseg.ops.pallas import minplus
+
+    rng = np.random.default_rng(7)
+    cases = [((2, 10, 9, 11), 4, 1), ((1, 11, 13, 6), 8, 4),
+             ((3, 5, 6, 7), 16, 2)]
+    for shape, tile_b, unroll in cases:
+        m = rng.random(shape) < 0.12
+        ref = np.asarray(edt.squared_edt(jnp.asarray(m), impl="xla"))
+        f = jnp.where(jnp.asarray(m), jnp.float32(0), edt.INF)
+        got = np.asarray(minplus.squared_edt_3d(f, tile_b, unroll,
+                                                interpret=True))
+        np.testing.assert_array_equal(got, ref)
+    # all-False mask: INF sentinel must survive all three passes
+    m = jnp.zeros((1, 6, 7, 8), bool)
+    ref = np.asarray(edt.squared_edt(m, impl="xla"))
+    got = np.asarray(edt.squared_edt(m, impl="pallas-interpret"))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_erode_cross_exact_vs_scipy():
     from scipy import ndimage as ndi
     import jax.numpy as jnp
