@@ -94,14 +94,27 @@ def surface(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def masked_order_stats(values: jnp.ndarray, ks: jnp.ndarray,
-                       vmax: float) -> jnp.ndarray:
+                       vmax: float, impl: str = "auto") -> jnp.ndarray:
     """k-th smallest (0-based) of the finite entries of ``values``.
 
     ``values``: (..., N) float32 where masked-out entries are >= vmax;
     ``ks``: (..., K) int32 ranks, broadcast over leading axes.  Integer
     binary search over [0, vmax] — exact for integer-valued distances —
     avoiding a full device sort.  Returns (..., K) float32.
+
+    ``impl``: "xla", "pallas" (full-bandwidth count kernel, 2-D
+    values/ks only — dctseg/ops/pallas/orderstats.py), "pallas-interpret"
+    (CPU tests), or "auto" (pallas on TPU when applicable).  The pallas
+    path runs the identical binary search and is bit-identical.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if (impl in ("pallas", "pallas-interpret")
+            and values.ndim == 2 and ks.ndim == 2
+            and values.shape[0] == ks.shape[0]):
+        from dctseg.ops.pallas import orderstats
+        return orderstats.masked_order_stats(
+            values, ks, vmax, interpret=impl == "pallas-interpret")
     lo = jnp.zeros(ks.shape, jnp.float32)
     hi = jnp.full(ks.shape, jnp.float32(vmax))
     iters = int(math.ceil(math.log2(float(vmax) + 2.0)))

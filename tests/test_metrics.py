@@ -165,6 +165,32 @@ def test_squared_edt_pallas_bit_identical():
     np.testing.assert_array_equal(got, ref)
 
 
+def test_masked_order_stats_pallas_bit_identical():
+    """The Pallas m-ary order-statistic search (TPU path of phase2) matches
+    the XLA binary search bit-for-bit across fanouts, tile remainders, and
+    value ranges (tiny, typical, near-vmax)."""
+    import jax.numpy as jnp
+    from dctseg.ops import edt
+    from dctseg.ops.pallas import orderstats
+
+    rng = np.random.default_rng(11)
+    vmax = 3.0 * 255 ** 2 + 1
+    for trial, hi in enumerate((5, 2500, 195075)):
+        c, m = 3, int(rng.integers(100, 3000))
+        vals = np.where(rng.random((c, m)) < 0.4,
+                        rng.integers(0, hi, (c, m)).astype(np.float64),
+                        1e7).astype(np.float32)
+        nval = max(1, int((vals < vmax).sum(1).min()))
+        ks = rng.integers(0, nval, (c, 2)).astype(np.int32)
+        ref = np.asarray(edt.masked_order_stats(
+            jnp.asarray(vals), jnp.asarray(ks), vmax, impl="xla"))
+        for fanout in (4, 8):
+            got = np.asarray(orderstats.masked_order_stats(
+                jnp.asarray(vals), jnp.asarray(ks), vmax, tile_rows=4,
+                fanout=fanout, interpret=True))
+            np.testing.assert_array_equal(got, ref)
+
+
 def test_erode_cross_exact_vs_scipy():
     from scipy import ndimage as ndi
     import jax.numpy as jnp
