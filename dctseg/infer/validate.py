@@ -19,6 +19,7 @@ import os
 import time
 from typing import Dict, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +28,15 @@ from dctseg.infer.engine import Predictor, ensemble_probs
 from dctseg.utils import export
 
 logger = logging.getLogger("dctseg")
+
+
+@jax.jit
+def _postprocess_device(o):
+    """Device twin of the host ET-suppression heuristic (the reference's
+    commented `np.sum(o) < 500 -> o*0`, predict_simple.py:132-140): the
+    identical integer edit, so device metrics stay usable under
+    ``postprocess``."""
+    return jnp.where((o == 3) & (jnp.sum(o == 3) < 500), jnp.uint8(1), o)
 
 
 def validate_softmax(
@@ -76,10 +86,12 @@ def validate_softmax(
     n_total = len(loader)
     # Dice/mIoU/HD95 on the accelerator (exact-match with the host
     # functions; scipy's EDT costs ~4.5 s/volume on this 1-core host).
-    # ``postprocess`` edits labels on host, so it forces the host path.
+    # ``postprocess`` is applied on device too (identical integer edit),
+    # so it no longer forces the host metric path.
     dmetrics = (metrics.DeviceMetrics(batched_call_shape=batched_call_shape,
                                       use_hd95=use_hd95)
-                if device_metrics and not postprocess else None)
+                if device_metrics else None)
+    pp_dev = _postprocess_device  # module-level jit: sweeps share it
 
     def run(x):
         # tiled_probs_batch falls through to the single-volume engine at
@@ -157,7 +169,8 @@ def validate_softmax(
                 output = np.where(output == 3, 1, output)
 
         if dmetrics is not None:
-            md = dmetrics(out_dev[0], jnp.asarray(target))
+            md = dmetrics(pp_dev(out_dev[0]) if postprocess else out_dev[0],
+                          jnp.asarray(target))
             soft, miou, haus = md["dice"], md["miou"], md["hd95"]
         else:
             soft = metrics.softmax_output_dice(output, target)

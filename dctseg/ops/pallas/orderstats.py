@@ -89,6 +89,10 @@ def masked_order_stats(values: jnp.ndarray, ks: jnp.ndarray, vmax: float,
     BraTS vmax.  Entries >= vmax are treated as masked-out, exactly like
     the XLA path; all interval arithmetic stays on exact-in-f32 integers.
     """
+    if fanout < 2 or fanout & (fanout - 1):
+        raise ValueError("fanout must be a power of two: the cut-point "
+                         "division s*L/fanout is only exact in f32 for "
+                         f"power-of-two fanouts (got {fanout})")
     c, m = values.shape
     k = ks.shape[-1]
     s = fanout - 1

@@ -203,6 +203,43 @@ def test_validate_softmax_end_to_end(tmp_path, tiny_predictor):
     assert row["gt_1"] > 0  # synthetic volumes contain class-1 voxels
 
 
+def test_validate_postprocess_device_matches_host(tiny_predictor):
+    """--postprocess (ET suppression) no longer forces the host metric
+    path: the device twin applies the identical integer edit, so device
+    and host metrics agree exactly under postprocess."""
+    from dctseg.infer.validate import _postprocess_device
+
+    # unit: the device edit equals the host heuristic on both sides of
+    # the 500-voxel threshold
+    rng = np.random.default_rng(5)
+    for n_et in (499, 500, 3000):
+        o = rng.integers(0, 3, (24, 24, 24)).astype(np.uint8)
+        idx = np.argwhere(o >= 0)[:n_et]
+        o[tuple(idx.T)] = 3
+        host = o.copy()
+        if (host == 3).sum() < 500:
+            host = np.where(host == 3, 1, host)
+        dev = np.asarray(_postprocess_device(jnp.asarray(o)))
+        np.testing.assert_array_equal(dev, host)
+
+    pred, _ = tiny_predictor
+    cfg = DataConfig(synthetic_num_samples=2, input_shape=(48, 48, 40),
+                     pad_depth=40, crop_size=(32, 32, 32))
+    ds = BraTSDataset(mode="valid", cfg=cfg)
+
+    def run(device_metrics):
+        loader = PrefetchLoader(ds, batch_size=1, shuffle=False,
+                                num_workers=1)
+        return validate_softmax(loader, pred, strategy="single",
+                                postprocess=True,
+                                device_metrics=device_metrics)
+
+    dev, host = run(True), run(False)
+    for k in ("wt", "tc", "et", "hd95_wt", "hd95_tc", "hd95_et",
+              "miou_wt", "miou_tc", "miou_et"):
+        np.testing.assert_allclose(dev[k], host[k], atol=0, err_msg=k)
+
+
 def test_validate_single_strategy(tiny_predictor):
     pred, _ = tiny_predictor
     cfg = DataConfig(synthetic_num_samples=1, input_shape=(48, 48, 40),
