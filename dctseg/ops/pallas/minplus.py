@@ -24,7 +24,7 @@ op with no lane-dimension reductions at all:
 
 Exactness: identical arithmetic to the XLA pass (all values are integers
 < 2^24 in float32, and min is order-independent), so results are
-bit-identical — tested in tests/test_ops.py.
+bit-identical — tested in tests/test_metrics.py.
 """
 
 from __future__ import annotations
