@@ -166,6 +166,43 @@ def _device_phase2():
                                                              _VMAX))
 
 
+def _percentile_ranks(n: jnp.ndarray):
+    """Device twin of numpy's percentile index arithmetic.
+
+    numpy computes idx = float64(0.95) * (max(n,1)-1) and brackets it with
+    floor/ceil.  With m = max(n,1)-1 = 20q + r (integer ops, exact in
+    int32): 0.95*m = 19q + 0.95*r, where for r = 0 the float64 product
+    rounds to exactly 19q (error 20*q*ulp(0.95) << ulp(19q)), and for
+    r in [1, 19] the value 0.95*r is at least 0.05 away from any integer,
+    so float32 evaluation brackets identically to float64.  Hence
+    k_lo = 19q + floor(0.95 r), k_hi = k_lo + (r != 0) — bit-exact vs the
+    host path (exact-match tested through DeviceMetrics).
+    """
+    m = jnp.maximum(n, 1) - 1                            # int32
+    q, r = m // 20, m % 20
+    k_lo = 19 * q + jnp.floor(jnp.float32(0.95)
+                              * r.astype(jnp.float32)).astype(jnp.int32)
+    k_hi = jnp.where(r == 0, k_lo, k_lo + 1)
+    return jnp.stack([k_lo, k_hi], axis=-1)              # (..., 2)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_fused(batched_call_shape: bool, use_hd95: bool):
+    """Single-program DeviceMetrics: the percentile ranks are computed on
+    device (:func:`_percentile_ranks`), so counts AND the bracketing order
+    statistics come back in ONE dispatch — no mid-call host sync, half
+    the per-volume dispatch overhead of the two-phase form."""
+    phase1 = _device_phase1(batched_call_shape, use_hd95)
+
+    def run(output, target):
+        counts, degenerate, n, pooled = phase1(output, target)
+        if pooled is None:
+            return counts, degenerate, n, None
+        vs = edt.masked_order_stats(pooled, _percentile_ranks(n), _VMAX)
+        return counts, degenerate, n, vs
+    return jax.jit(run)
+
+
 class DeviceMetrics:
     """Dice / mIoU / HD95 computed on the accelerator.
 
@@ -190,7 +227,10 @@ class DeviceMetrics:
         self.use_hd95 = use_hd95
         # module-level jits keyed by the two static flags: every instance
         # with the same flags shares one executable, so per-checkpoint
-        # sweeps (evaluate.py --strategy sweep) never recompile
+        # sweeps (evaluate.py --strategy sweep) never recompile.  The
+        # fused program is the production path (one dispatch per volume);
+        # the split phases remain for diagnostics (scripts/measure_edt.py).
+        self._fused = _device_fused(batched_call_shape, use_hd95)
         self._phase1 = _device_phase1(batched_call_shape, use_hd95)
         self._phase2 = _device_phase2()
 
@@ -201,7 +241,7 @@ class DeviceMetrics:
         target = jnp.asarray(target)
         if output.ndim == 4:       # strip an incoming batch-1 axis
             output, target = output[0], target[0]
-        counts, degenerate, n, pooled = self._phase1(
+        counts, degenerate, n, vs = self._fused(
             output.astype(jnp.int32), target.astype(jnp.int32))
         counts = np.asarray(counts, np.float64)
         degenerate = np.asarray(degenerate)
@@ -212,12 +252,13 @@ class DeviceMetrics:
         if not self.use_hd95:
             return {"dice": dice, "miou": miou, "hd95": [0.0, 0.0, 0.0]}
         n = np.asarray(n, np.int64)
-        # numpy percentile index arithmetic, in float64 as numpy does it
+        # numpy percentile index arithmetic, in float64 as numpy does it;
+        # the bracketing ranks themselves were computed on device
+        # (bit-equal — see _percentile_ranks), so only the interpolation
+        # fraction is needed here
         idx = 0.95 * (np.maximum(n, 1) - 1).astype(np.float64)
         k_lo = np.floor(idx).astype(np.int32)
-        k_hi = np.ceil(idx).astype(np.int32)
-        ks = jnp.asarray(np.stack([k_lo, k_hi], axis=-1))       # (3, 2)
-        vs = np.asarray(self._phase2(pooled, ks), np.float64)   # (3, 2)
+        vs = np.asarray(vs, np.float64)                         # (3, 2)
         hd = []
         for c in range(3):
             if degenerate[c]:

@@ -140,6 +140,27 @@ def test_squared_edt_exact_vs_scipy():
         np.testing.assert_array_equal(got, ref)
 
 
+def test_percentile_ranks_match_numpy_float64():
+    """The device integer twin of numpy's percentile index arithmetic
+    (metrics._percentile_ranks) must bracket identically to the f64 host
+    computation for every surface-count magnitude, including exact
+    multiples of 20 (where idx is an exact integer and k_lo == k_hi)."""
+    import jax.numpy as jnp
+
+    ns = np.concatenate([
+        np.arange(0, 2001),
+        np.random.default_rng(3).integers(0, 2 * 240 * 240 * 155,
+                                          5000),
+        np.arange(0, 41) * 892800,          # multiples of 20 at scale
+        np.array([2 * 240 * 240 * 155]),    # the maximum pooled count
+    ]).astype(np.int64)
+    idx = 0.95 * (np.maximum(ns, 1) - 1).astype(np.float64)
+    want = np.stack([np.floor(idx), np.ceil(idx)], -1).astype(np.int64)
+    got = np.asarray(metrics._percentile_ranks(
+        jnp.asarray(ns, jnp.int32)), np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_squared_edt_pallas_bit_identical():
     """The Pallas min-plus kernel (TPU path of squared_edt) matches the XLA
     implementation bit-for-bit, including batch dims, unaligned extents,
