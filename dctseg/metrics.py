@@ -191,15 +191,27 @@ def _device_fused(batched_call_shape: bool, use_hd95: bool):
     """Single-program DeviceMetrics: the percentile ranks are computed on
     device (:func:`_percentile_ranks`), so counts AND the bracketing order
     statistics come back in ONE dispatch — no mid-call host sync, half
-    the per-volume dispatch overhead of the two-phase form."""
+    the per-volume dispatch overhead of the two-phase form.
+
+    Everything is packed into ONE int32 vector (lossless: voxel counts
+    < 2^31 and the order statistics are exact integer squared distances
+    <= vmax): on a remote-dispatch transport each separate small-array
+    fetch pays a full round trip, and four fetches cost more than the
+    whole metric computation (measured on the axon relay — docs/PERF.md).
+    Layout: [counts (4x3), degenerate (3), n (3), vs (3x2 if use_hd95)].
+    """
     phase1 = _device_phase1(batched_call_shape, use_hd95)
 
     def run(output, target):
         counts, degenerate, n, pooled = phase1(output, target)
-        if pooled is None:
-            return counts, degenerate, n, None
-        vs = edt.masked_order_stats(pooled, _percentile_ranks(n), _VMAX)
-        return counts, degenerate, n, vs
+        parts = [counts.reshape(-1).astype(jnp.int32),
+                 degenerate.astype(jnp.int32),
+                 n.astype(jnp.int32)]
+        if pooled is not None:
+            vs = edt.masked_order_stats(pooled, _percentile_ranks(n),
+                                        _VMAX)
+            parts.append(vs.reshape(-1).astype(jnp.int32))
+        return jnp.concatenate(parts)
     return jax.jit(run)
 
 
@@ -241,24 +253,24 @@ class DeviceMetrics:
         target = jnp.asarray(target)
         if output.ndim == 4:       # strip an incoming batch-1 axis
             output, target = output[0], target[0]
-        counts, degenerate, n, vs = self._fused(
-            output.astype(jnp.int32), target.astype(jnp.int32))
-        counts = np.asarray(counts, np.float64)
-        degenerate = np.asarray(degenerate)
+        packed = np.asarray(self._fused(
+            output.astype(jnp.int32), target.astype(jnp.int32)))
+        counts = packed[:12].reshape(4, 3).astype(np.float64)
+        degenerate = packed[12:15].astype(bool)
         o_sum, t_sum, inter, union = counts
         eps = 1e-8
         dice = ((2.0 * inter + eps) / (o_sum + t_sum + eps)).tolist()
         miou = ((inter + eps) / (union + eps)).tolist()
         if not self.use_hd95:
             return {"dice": dice, "miou": miou, "hd95": [0.0, 0.0, 0.0]}
-        n = np.asarray(n, np.int64)
+        n = packed[15:18].astype(np.int64)
         # numpy percentile index arithmetic, in float64 as numpy does it;
         # the bracketing ranks themselves were computed on device
         # (bit-equal — see _percentile_ranks), so only the interpolation
         # fraction is needed here
         idx = 0.95 * (np.maximum(n, 1) - 1).astype(np.float64)
         k_lo = np.floor(idx).astype(np.int32)
-        vs = np.asarray(vs, np.float64)                         # (3, 2)
+        vs = packed[18:24].reshape(3, 2).astype(np.float64)
         hd = []
         for c in range(3):
             if degenerate[c]:
