@@ -120,16 +120,21 @@ class Predictor:
                 [jax.lax.rev(x, c) if c else x for c in FLIP_COMBOS], axis=0)
         return jax.jit(flips)
 
+    @staticmethod
+    def _unflip_mean_volume(probs):
+        """(8, D, H, W, C) flip-variant probs -> (1, D, H, W, C) double-
+        softmax mean (predict_simple.py:333-349).  Single definition serves
+        the per-volume jit and the V-volume vmap."""
+        acc = jnp.zeros_like(probs[0:1], dtype=jnp.float32)
+        for i, c in enumerate(FLIP_COMBOS):
+            p = probs[i:i + 1]
+            p = jax.lax.rev(p, c) if c else p
+            acc = acc + jax.nn.softmax(p.astype(jnp.float32), axis=-1)
+        return acc / len(FLIP_COMBOS)
+
     @functools.cached_property
     def _unflip_mean_fn(self) -> Callable:
-        def unflip_mean(probs):
-            acc = jnp.zeros_like(probs[0:1], dtype=jnp.float32)
-            for i, c in enumerate(FLIP_COMBOS):
-                p = probs[i:i + 1]
-                p = jax.lax.rev(p, c) if c else p
-                acc = acc + jax.nn.softmax(p.astype(jnp.float32), axis=-1)
-            return acc / len(FLIP_COMBOS)
-        return jax.jit(unflip_mean)
+        return jax.jit(self._unflip_mean_volume)
 
     @functools.cached_property
     def _flips_fwd_fn(self) -> Callable:
@@ -157,6 +162,42 @@ class Predictor:
             xs = self._flip_batch_fn(x)
             probs = self._forward(self.params, xs)
         return self._unflip_mean_fn(probs)
+
+    @functools.cached_property
+    def _flips_batch_fn(self) -> Callable:
+        """V-volume flip builder: (V, ...) -> (8V, ...), volume-major
+        (volume v's flip variants are rows 8v:8v+8).  Reuses _flip_batch_fn
+        (inlined under this jit) so the flip order has one definition."""
+        def flips_cat(x):
+            return jnp.concatenate(
+                [self._flip_batch_fn(x[v:v + 1]) for v in range(x.shape[0])],
+                axis=0)
+        return jax.jit(flips_cat)
+
+    @functools.cached_property
+    def _unflip_mean_batch_fn(self) -> Callable:
+        """(8V, D, H, W, C) volume-major flip outputs -> (V, D, H, W, C)
+        double-softmax means in ONE program (vs V per-volume dispatches)."""
+        def unflip_batch(probs):
+            pv = probs.reshape(-1, 8, *probs.shape[1:])
+            return jax.vmap(Predictor._unflip_mean_volume)(pv)[:, 0]
+        return jax.jit(unflip_batch)
+
+    def tta_probs_batch(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(V, D, H, W, M) -> (V, D, H, W, C): V volumes' 8 flip variants
+        batched through ONE forward program (B=8V).
+
+        The TTA analogue of :meth:`tiled_probs_batch` — amortizes the
+        per-program dispatch overhead over V volumes and runs the forward
+        at the larger batch (docs/PERF.md "Paired tiling").  Numerics are
+        identical to V calls of tta_probs (same flips, same double-softmax
+        mean; the forward is batch-parallel).  Throughput-only knob:
+        per-volume latency scales with V."""
+        if x.shape[0] == 1:
+            return self.tta_probs(x)
+        xs = self._flips_batch_fn(x)
+        probs = self._forward(self.params, xs)
+        return self._unflip_mean_batch_fn(probs)
 
     # ---- sliding-window tiling (predict.py:37-65) ----
 

@@ -63,20 +63,16 @@ def validate_softmax(
 
     ``paired``: volumes per dispatched program.  ``paired=V`` groups V
     volumes into one forward (B=8V for the tiling engines via
-    ``tiled_probs_batch``) — amortizes per-program dispatch overhead for
-    throughput-oriented runs like checkpoint sweeps, at the cost of V×
+    ``tiled_probs_batch``, and likewise 8 flips x V volumes via
+    ``tta_probs_batch`` for 'tta') — amortizes per-program dispatch overhead
+    for throughput-oriented runs like checkpoint sweeps, at the cost of V×
     per-volume latency and HBM (measured V=3 optimum in bf16 on a 16 GB
     v5e, docs/PERF.md "Paired tiling"; numerics identical to per-volume).
-    Supported for 'tiling', 'tiling_tta', and 'single'; 'tta' stays
-    per-volume."""
+    Supported for every strategy."""
     if hd95_mode not in ("reference", "surface"):
         raise ValueError(f"hd95_mode must be 'reference' or 'surface', "
                          f"got {hd95_mode!r}")
     paired = max(1, int(paired))
-    if paired > 1 and strategy == "tta":
-        raise ValueError("paired>1 is not supported for strategy 'tta' "
-                         "(full-volume flip TTA operates per volume); use "
-                         "tiling, tiling_tta, or single")
     batched_call_shape = hd95_mode == "reference"
     wt, tc, et = [], [], []
     h_wt, h_tc, h_et = [], [], []
@@ -94,10 +90,10 @@ def validate_softmax(
     pp_dev = _postprocess_device  # module-level jit: sweeps share it
 
     def run(x):
-        # tiled_probs_batch falls through to the single-volume engine at
+        # the *_batch engines fall through to the single-volume path at
         # V=1, so the per-volume and paired paths share one code path
         if strategy == "tta":
-            return predictor.tta_probs(x)
+            return predictor.tta_probs_batch(x)
         if strategy == "single":
             return predictor.seg_probs(x)
         if strategy == "tiling":

@@ -49,8 +49,8 @@ def parse_args(argv=None):
                         "is the corrected 3-D surface-distance HD95 (see "
                         "dctseg.metrics.cal_hausdorff)")
     p.add_argument("--paired", type=int, default=1, metavar="V",
-                   help="volumes per dispatched program (tiling/tiling_tta/"
-                        "single): V volumes' crops batch through one B=8V "
+                   help="volumes per dispatched program (any strategy): V "
+                        "volumes' crops/flips batch through one B=8V "
                         "forward — throughput for sweeps at Vx per-volume "
                         "latency+HBM (bf16 V=3 optimum on 16GB v5e, "
                         "docs/PERF.md 'Paired tiling')")

@@ -149,11 +149,39 @@ def test_validate_paired_matches_per_volume():
     want = np.concatenate([np.asarray(pred.tiled_tta_probs(x2[v:v + 1]))
                            for v in range(2)], axis=0)
     np.testing.assert_array_equal(got, want)
-    # full-volume flip TTA stays per-volume
-    with pytest.raises(ValueError, match="paired"):
-        run_loader = PrefetchLoader(ds, batch_size=1, shuffle=False,
-                                    num_workers=1)
-        validate_softmax(run_loader, pred, strategy="tta", paired=2)
+
+
+def test_tta_probs_batch_matches_per_volume(tiny_predictor):
+    """The V-volume batched TTA path must equal V independent tta_probs
+    calls (same flips, same double-softmax mean, batch-parallel forward) —
+    the TTA analogue of tiled_probs_batch, so --paired covers 'tta' too."""
+    pred, x = tiny_predictor
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(rng.normal(size=(3, *x.shape[1:])).astype(np.float32))
+    got = np.asarray(pred.tta_probs_batch(xs))
+    want = np.concatenate([np.asarray(pred.tta_probs(xs[v:v + 1]))
+                           for v in range(3)], axis=0)
+    # the B=24 forward is a different XLA executable than B=8, so allow
+    # reduction-order rounding (same tolerance class as the TTA test above)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    # V=1 falls through to the per-volume path
+    np.testing.assert_array_equal(np.asarray(pred.tta_probs_batch(xs[:1])),
+                                  np.asarray(pred.tta_probs(xs[:1])))
+    # end-to-end: validate_softmax(strategy='tta', paired=2) groups volumes
+    # (incl. a remainder group) without changing any metric
+    pt = Predictor(_PassThrough(), jnp.asarray(0.0))
+    cfg = DataConfig(synthetic_num_samples=3)
+    ds = BraTSDataset(mode="valid", cfg=cfg)
+
+    def run(paired):
+        loader = PrefetchLoader(ds, batch_size=1, shuffle=False,
+                                num_workers=1)
+        return validate_softmax(loader, pt, strategy="tta",
+                                use_hd95=False, paired=paired)
+
+    base, paired = run(1), run(2)
+    for k in ("wt", "tc", "et", "miou_wt", "miou_tc", "miou_et"):
+        np.testing.assert_allclose(paired[k], base[k], atol=0, err_msg=k)
 
 
 def test_ensemble_average():
