@@ -53,7 +53,8 @@ class Predictor:
     per-chip activation memory by the space factor."""
 
     def __init__(self, model, params, microbatch: Optional[int] = None,
-                 mesh=None, fuse_dispatch: bool = False):
+                 mesh=None, fuse_dispatch: bool = False,
+                 fold_params: bool = False):
         self.model = model
         self.params = params
         self.microbatch = microbatch
@@ -67,11 +68,33 @@ class Predictor:
         # (scripts/measure_fused_dispatch.py, docs/PERF.md).
         self.fuse_dispatch = (fuse_dispatch and microbatch is None
                               and mesh is None)
+        # Close the parameters over the forward jit as compile-time
+        # constants so XLA constant-folds every apply-time weight
+        # computation ONCE — the s2d weight-space transforms
+        # (dctseg/ops/s2d.py conv_kernel/pointwise_kernel/...) and the int8
+        # per-channel weight quantization (dctseg/ops/quant.py:70-71),
+        # which the two-argument jit re-executes on every call because
+        # params arrive as runtime inputs.  Embeds the ~64 MB parameter set
+        # in the executable (like the AOT serving bundles);
+        # ``update_params`` then recompiles, so sweeps/ensembles should
+        # keep the default.  Folding evaluates the transforms in a
+        # different op order than the fused runtime program, so results
+        # are rounding-close (~1e-6 f32), not bit-exact — the numerics
+        # class of any recompilation; under int8 a 1-ulp folded-scale
+        # difference can flip individual weight roundings (same accuracy
+        # class, bounded by test).  Single-chip only (the mesh path needs
+        # params as shardable inputs).
+        self.fold_params = fold_params and mesh is None
         self._fwd_cache = {}
         self._fwd = self._make_fwd(shard_batch_axis=False)
 
     def _make_fwd(self, shard_batch_axis: bool) -> Callable:
         if self.mesh is None:
+            if self.fold_params:
+                params = self.params
+                fwd = jax.jit(
+                    lambda x: self.model.apply(params, x, train=False)[0])
+                return lambda p, x: fwd(x)
             return jax.jit(
                 lambda p, x: self.model.apply(p, x, train=False)[0])
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -103,8 +126,15 @@ class Predictor:
         return jnp.concatenate(outs, axis=0)
 
     def update_params(self, params):
-        """Swap checkpoints without recompiling (for ensembling/sweeps)."""
+        """Swap checkpoints without recompiling (for ensembling/sweeps).
+
+        Under ``fold_params`` the old parameters are baked into the
+        executable, so the forward must be rebuilt (a recompile per
+        swap — keep fold_params off for sweeps/ensembles)."""
         self.params = params
+        if self.fold_params:
+            self._fwd_cache.clear()
+            self._fwd = self._make_fwd(shard_batch_axis=False)
 
     def seg_probs(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, D, H, W, M) -> (B, D, H, W, C) decoder softmax probs."""

@@ -109,3 +109,39 @@ def test_trainer_rejects_quantized_config(tmp_path):
     )
     with pytest.raises(AssertionError, match="inference-only"):
         Trainer(cfg)
+
+
+def test_fold_params_bit_exact_and_swappable():
+    """Predictor(fold_params=True) bakes the parameters into the forward
+    executable so XLA constant-folds the apply-time weight work (s2d
+    kernel transforms + int8 per-channel weight quantization) once at
+    compile time.  The folder evaluates those transforms in a different
+    op order than the fused runtime program, so the float model is
+    rounding-close (~1e-6 on f32 probs), not bit-exact — the same
+    numerics class as any recompilation.  Under int8 a 1-ulp difference
+    in a folded per-channel scale can flip individual weight roundings
+    (weights sitting on a .5 boundary), so the folded int8 network is a
+    slightly different — same accuracy class — quantization of the same
+    float weights; bounded like the int8-vs-float drift test above.
+    update_params must rebuild the folded executable (sweep correctness
+    over speed)."""
+    mf, mq, params, x = _tiny_pair()
+    from dctseg.infer.engine import Predictor
+    for model, atol in ((mf, 1e-5), (mq, None)):
+        base = Predictor(model, params)
+        fold = Predictor(model, params, fold_params=True)
+
+        def check(a, b):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            if atol is not None:
+                np.testing.assert_allclose(a, b, atol=atol)
+            else:
+                assert np.abs(a - b).mean() < 0.01
+                assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.98
+
+        check(base.seg_probs(x), fold.seg_probs(x))
+        # checkpoint swap: the folded executable must track the new params
+        params2 = jax.tree.map(lambda a: a * 1.5, params)
+        base.update_params(params2)
+        fold.update_params(params2)
+        check(base.seg_probs(x), fold.seg_probs(x))
