@@ -3,13 +3,15 @@
 The driver runs ``python bench.py`` at the end of every round and records
 its one-line JSON; a logic regression there costs a round's artifact, so
 the ladder/JSON plumbing gets CPU coverage here with the heavy pieces
-(full-size model, 240^3 tiled inference, accelerator probe) stubbed out.
+(full-size model, 240^3 tiled inference, accelerator probe) stubbed out
+and the working-set volumes shrunk to toy sizes via the module constants.
 The real chip numbers live in docs/PERF.md; this only proves the harness.
 """
 
 import json
 
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 import bench
@@ -23,17 +25,24 @@ class _FakeModel:
 
 class _FakePredictor:
     """Stands in for dctseg.infer.engine.Predictor: records which
-    (quantize, V) rungs ran and optionally fails selected quant modes."""
+    (quantize, V) rungs ran and optionally fails selected quant modes
+    (every call, or just the first call for transient-failure tests)."""
 
     calls = []
     fail_quants = set()
+    fail_once_quants = set()
 
     def __init__(self, model, params):
+        self.model = model
+        self.params = params
         self.quant = getattr(model, "quant", None)
 
     def tiled_probs_batch(self, group):
         if self.quant in self.fail_quants:
             raise RuntimeError("forced rung failure (test)")
+        if self.quant in type(self).fail_once_quants:
+            type(self).fail_once_quants.discard(self.quant)
+            raise RuntimeError("forced transient failure (test)")
         v = group.shape[0]
         type(self).calls.append((self.quant, v))
         return jnp.zeros((v, 1, 1, 1, 1))
@@ -48,7 +57,10 @@ def bench_env(monkeypatch):
 
     _FakePredictor.calls = []
     _FakePredictor.fail_quants = set()
+    _FakePredictor.fail_once_quants = set()
     monkeypatch.setattr(bench, "_wait_for_accelerator", lambda: None)
+    monkeypatch.setattr(bench, "VOL_SHAPE", (8, 8, 8))
+    monkeypatch.setattr(bench, "CROP", 8)
     monkeypatch.setattr("dctseg.models.clswiseformer.build_model",
                         fake_build_model)
     monkeypatch.setattr("dctseg.infer.engine.Predictor", _FakePredictor)
@@ -75,8 +87,13 @@ def test_bench_emits_contract_json_top_rung(bench_env, capsys):
     # Top rung is the measured-fastest config: int8, V=2 paired.
     assert rec["quantize"] == "int8"
     assert rec["paired_volumes"] == 2
-    assert all(q == "int8" for q, _ in bench_env.calls)
-    assert all(v == 2 for _, v in bench_env.calls)
+    # The bf16 V=1 parity rung rides along in every artifact.
+    assert rec["parity_rung"]["value"] > 0
+    assert ("int8", 2) in bench_env.calls
+    # parity rung ran bf16 V=1 (the headline model's quantize is "none")
+    assert ("none", 1) in bench_env.calls
+    assert all(q == "int8" or (q, v) == ("none", 1)
+               for q, v in bench_env.calls)
 
 
 def test_bench_falls_back_to_bf16_when_int8_rung_fails(bench_env, capsys):
@@ -85,9 +102,46 @@ def test_bench_falls_back_to_bf16_when_int8_rung_fails(bench_env, capsys):
     assert rec["quantize"] == "bfloat16"
     assert rec["paired_volumes"] == 3
     assert rec["value"] > 0
+    assert rec["parity_rung"]["value"] > 0
+
+
+def test_bench_retries_transient_failure_without_demoting(bench_env,
+                                                          capsys):
+    """A one-off failure (relay stall) must retry the SAME rung, not
+    permanently demote the round's artifact to a slower config."""
+    bench_env.fail_once_quants = {"int8"}
+    rec = _run_bench(capsys)
+    assert rec["quantize"] == "int8"
+    assert rec["paired_volumes"] == 2
+
+
+def test_bench_headline_bf16_v1_is_its_own_parity_rung(bench_env, capsys,
+                                                       monkeypatch):
+    monkeypatch.setattr(bench, "LADDER", [(None, 1)])
+    rec = _run_bench(capsys)
+    assert rec["quantize"] == "bfloat16"
+    assert rec["parity_rung"]["value"] == rec["value"]
+    assert "note" in rec["parity_rung"]
 
 
 def test_bench_raises_when_every_rung_fails(bench_env):
     bench_env.fail_quants = {"int8", "none"}  # ModelConfig default is "none"
     with pytest.raises(RuntimeError, match="every ladder rung failed"):
         bench.main()
+
+
+def test_measure_device_forward_scan_chain():
+    """The efficiency probe must time a data-dependent rep-chain and
+    report per-forward flops from XLA cost analysis (shape-preserving
+    toy model: out = x * w)."""
+    class _Toy:
+        def apply(self, params, x, train=False):
+            return (x * params["w"],)
+
+    params = {"w": jnp.full((1,), 0.5, jnp.float32)}
+    out = bench.measure_device_forward(_Toy(), params, (2, 4, 4, 4, 4),
+                                       rep=3)
+    assert out["device_s_forward"] > 0
+    # cost analysis may legitimately be unavailable on some backends;
+    # on CPU it reports the multiply's flops
+    assert out["flops_forward"] != 0
