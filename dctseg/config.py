@@ -77,6 +77,17 @@ class ModelConfig:
     # Rematerialize UNet residual blocks in backward (needed at 128^3 to fit
     # a 16GB chip; off for tiny test configs where recompute just costs time).
     remat: bool = True
+    # Remat granularity when ``remat`` is on:
+    #   "full"       — recompute the whole block in backward (stores only
+    #                  block inputs; the most memory-thrifty policy).
+    #   "save_convs" — jax.checkpoint_policies.save_only_these_names on the
+    #                  conv outputs (tagged in dctseg/models/layers.py): the
+    #                  MXU-bound convolutions are NOT recomputed in backward,
+    #                  only the cheap norm/activation elementwise work is —
+    #                  trades ~0.5 GB of saved conv activations (B=1 128^3)
+    #                  for skipping the conv recompute FLOPs.
+    # Chosen by measurement on the chip (docs/PERF.md "Train step").
+    remat_policy: str = "full"
     # Run the full-resolution UNet stages on a space-to-depth view (exact
     # weight-transformed convs, ~2.7x faster full-res convs on TPU v5e; see
     # dctseg/ops/s2d.py and docs/PERF.md).  Checkpoint-compatible both ways.

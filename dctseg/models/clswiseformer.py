@@ -71,7 +71,9 @@ class ClsWiseFormer(nn.Module):
 
         self.unet = UnetEncoder(base_channels=cfg.base_channels,
                                 init_dropout=cfg.init_conv_dropout, dtype=dt,
-                                remat=cfg.remat, s2d=cfg.s2d_fullres,
+                                remat=cfg.remat,
+                                remat_policy=cfg.remat_policy,
+                                s2d=cfg.s2d_fullres,
                                 s2d_half=cfg.s2d_halfres,
                                 conv3=cfg.conv3_strategy,
                                 quantize=cfg.quantize)
@@ -134,7 +136,9 @@ class ClsWiseFormer(nn.Module):
         self.sum_fusion = Conv3d(g["bottleneck_ch"], dtype=dt,
                                  quantize=cfg.quantize, name="sum_fusion")
         self.decoder = Decoder(g["bottleneck_ch"], cfg.num_classes, dtype=dt,
-                               remat=cfg.remat, s2d=cfg.s2d_fullres,
+                               remat=cfg.remat,
+                               remat_policy=cfg.remat_policy,
+                               s2d=cfg.s2d_fullres,
                                s2d_half=cfg.s2d_halfres,
                                conv3=cfg.conv3_strategy,
                                quantize=cfg.quantize, name="decoder")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from dctseg.ops.norms import instance_norm, layer_norm, leaky_relu
 
@@ -68,8 +69,8 @@ class Conv3d(nn.Module):
                                       name="Conv_0")()
             y = conv3d_int8(x.astype(self.dtype), kernel,
                             (self.stride,) * 3, ((p, p),) * 3)
-            return y + bias.astype(y.dtype)
-        return nn.Conv(
+            return checkpoint_name(y + bias.astype(y.dtype), "conv_out")
+        y = nn.Conv(
             features=self.features,
             kernel_size=(k, k, k),
             strides=(self.stride,) * 3,
@@ -79,6 +80,9 @@ class Conv3d(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
+        # tag for ModelConfig(remat_policy="save_convs"): under that remat
+        # policy the conv output is saved, not recomputed, in backward
+        return checkpoint_name(y, "conv_out")
 
 
 class ConvTranspose3d(nn.Module):

@@ -17,7 +17,9 @@ cls_wise_former.py:691-754).  Norms are InstanceNorm3d-equivalent.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from dctseg.models.layers import (Conv3d, ConvParams, ConvTranspose3d,
                                   torch_kernel_init)
@@ -38,6 +40,23 @@ from dctseg.ops.norms import instance_norm, leaky_relu
 # param declaration shared with the plain modules (moved to layers.py so
 # the quantized Conv3d path can reuse it)
 _ConvParams = ConvParams
+
+
+def _remat_wrap(block_cls, remat: bool, policy: str = "full"):
+    """Block remat with configurable granularity (ModelConfig.remat_policy).
+
+    "full" recomputes the whole block in backward (stores block inputs
+    only); "save_convs" saves the checkpoint_name-tagged conv outputs so
+    the MXU-bound convolutions are not recomputed — only the cheap
+    norm/activation elementwise work is (measured on chip, docs/PERF.md
+    "Train step")."""
+    if not remat:
+        return block_cls
+    if policy == "save_convs":
+        return nn.remat(block_cls, policy=jax.checkpoint_policies
+                        .save_only_these_names("conv_out"))
+    assert policy == "full", f"unknown remat_policy {policy!r}"
+    return nn.remat(block_cls)
 
 
 class S2DConv3d(nn.Module):
@@ -68,12 +87,15 @@ class S2DConv3d(nn.Module):
         if self.kernel_size == 1:
             w8 = s2dops.pointwise_kernel(w, self.groups or (cin,))
             y = s2dops.conv3d_s2d(x8, w8, padding=(0, 0))
-            return y + s2dops.tile_bias(b)
-        if self.stride == 2:
+            y = y + s2dops.tile_bias(b)
+        elif self.stride == 2:
             y = s2dops.conv3d_s2d(x8, s2dops.down_kernel(w), padding=(1, 0))
-            return y + b
-        y = s2dops.conv3x3_s2d(x8, w, self.conv3, self.quantize)
-        return y + s2dops.tile_bias(b)
+            y = y + b
+        else:
+            y = s2dops.conv3x3_s2d(x8, w, self.conv3, self.quantize)
+            y = y + s2dops.tile_bias(b)
+        # tag for ModelConfig(remat_policy="save_convs"), see layers.Conv3d
+        return checkpoint_name(y, "conv_out")
 
 
 class S2DDeconv(nn.Module):
@@ -181,6 +203,7 @@ class UnetEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = True   # rematerialize residual blocks (full-res 3D conv
                          # activations at 128^3 otherwise OOM a 16GB chip)
+    remat_policy: str = "full"  # remat granularity (see _remat_wrap)
     s2d: bool = True     # run the full-res stage space-to-depth (x1_1 is
                          # then returned in the s2d view; the decoder's
                          # matching flag consumes it)
@@ -194,7 +217,7 @@ class UnetEncoder(nn.Module):
     def __call__(self, x, *, train: bool = False):
         b0 = self.base_channels
         if self.s2d:
-            EnBlock = nn.remat(_EnBlockS2D) if self.remat else _EnBlockS2D
+            EnBlock = _remat_wrap(_EnBlockS2D, self.remat, self.remat_policy)
             x = s2dops.space_to_depth(x.astype(self.dtype))
             x = S2DConv3d(b0, dtype=self.dtype, conv3=self.conv3,
                           quantize=self.quantize, name="init_conv")(x)
@@ -213,7 +236,7 @@ class UnetEncoder(nn.Module):
             x = S2DConv3d(b0 * 2, stride=2, dtype=self.dtype,
                           name="down1")(x1_1)
         else:
-            EnBlock = nn.remat(_EnBlock) if self.remat else _EnBlock
+            EnBlock = _remat_wrap(_EnBlock, self.remat, self.remat_policy)
             x = Conv3d(b0, dtype=self.dtype, name="init_conv")(x)
             # Reference quirk: F.dropout3d is called with training=True even
             # in eval mode (Unet_skipconnection.py:31), making reference
@@ -225,10 +248,11 @@ class UnetEncoder(nn.Module):
             x1_1 = EnBlock(b0, dtype=self.dtype, name="en1_b")(x1_1)
             x = Conv3d(b0 * 2, stride=2, dtype=self.dtype,
                        name="down1")(x1_1)
-        EnBlock = nn.remat(_EnBlock) if self.remat else _EnBlock
+        EnBlock = _remat_wrap(_EnBlock, self.remat, self.remat_policy)
 
         if self.s2d_half:
-            EnBlockH = nn.remat(_EnBlockS2D) if self.remat else _EnBlockS2D
+            EnBlockH = _remat_wrap(_EnBlockS2D, self.remat,
+                                   self.remat_policy)
             x = s2dops.space_to_depth(x)
             x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, conv3=self.conv3,
                             quantize=self.quantize, name="en2_a")(x)
@@ -309,6 +333,7 @@ class Decoder(nn.Module):
     num_classes: int
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
+    remat_policy: str = "full"  # remat granularity (see _remat_wrap)
     s2d: bool = True     # full-res stage on the s2d view; x1_1 must arrive
                          # in the s2d view (UnetEncoder(s2d=True))
     s2d_half: bool = True  # half-res stage likewise; x2_1 in the s2d view
@@ -317,7 +342,7 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x1_1, x2_1, x3_1, x):
-        EnBlock2 = nn.remat(_EnBlock2) if self.remat else _EnBlock2
+        EnBlock2 = _remat_wrap(_EnBlock2, self.remat, self.remat_policy)
         e = self.embedding_dim
         x8 = Conv3d(e // 2, kernel_size=1, padding=0, dtype=self.dtype,
                     name="down_channel")(x)
@@ -333,7 +358,8 @@ class Decoder(nn.Module):
                       quantize=self.quantize, name="deblock4_1")(y4)
 
         if self.s2d_half:
-            Block2H = nn.remat(_EnBlock2S2D) if self.remat else _EnBlock2S2D
+            Block2H = _remat_wrap(_EnBlock2S2D, self.remat,
+                                  self.remat_policy)
             y3 = DeUpCatS2D(e // 8, dtype=self.dtype, name="deup3")(y4, x2_1)
             y3 = Block2H(e // 8, dtype=self.dtype, conv3=self.conv3,
                          quantize=self.quantize, name="deblock3")(y3)
@@ -347,7 +373,8 @@ class Decoder(nn.Module):
             y3 = EnBlock2(e // 8, dtype=self.dtype, name="deblock3_1")(y3)
 
         if self.s2d:
-            Block2 = nn.remat(_EnBlock2S2D) if self.remat else _EnBlock2S2D
+            Block2 = _remat_wrap(_EnBlock2S2D, self.remat,
+                                  self.remat_policy)
             y2 = DeUpCatS2D(e // 16, dtype=self.dtype,
                             name="deup2")(y3, x1_1)
             y2 = Block2(e // 16, dtype=self.dtype, conv3=self.conv3,
@@ -379,6 +406,7 @@ class PlainUnet(nn.Module):
     init_dropout: float = 0.2
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
+    remat_policy: str = "full"
     s2d: bool = True
     s2d_half: bool = True
     conv3: str = "dense"
@@ -389,12 +417,14 @@ class PlainUnet(nn.Module):
         x = x.astype(self.dtype)
         enc = UnetEncoder(base_channels=self.base_channels,
                           init_dropout=self.init_dropout, dtype=self.dtype,
-                          remat=self.remat, s2d=self.s2d,
+                          remat=self.remat, remat_policy=self.remat_policy,
+                          s2d=self.s2d,
                           s2d_half=self.s2d_half, conv3=self.conv3,
                           quantize=self.quantize, name="unet")
         x1_1, x2_1, x3_1, bottleneck = enc(x, train=train)
         dec = Decoder(self.base_channels * 16, self.num_classes,
-                      dtype=self.dtype, remat=self.remat, s2d=self.s2d,
+                      dtype=self.dtype, remat=self.remat,
+                      remat_policy=self.remat_policy, s2d=self.s2d,
                       s2d_half=self.s2d_half, conv3=self.conv3,
                       quantize=self.quantize, name="decoder")
         return dec(x1_1, x2_1, x3_1, bottleneck)

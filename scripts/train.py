@@ -78,6 +78,14 @@ def parse_args(argv=None):
     p.add_argument("--no-amp-lr-quirk", action="store_true",
                    help="with --amp, keep the plain poly schedule")
     p.add_argument("--pallas-attention", action="store_true")
+    p.add_argument("--remat-policy", default="full",
+                   choices=["full", "save_convs", "none"],
+                   help="backward rematerialization granularity: 'full' "
+                        "recomputes whole residual blocks, 'save_convs' "
+                        "saves the MXU conv outputs and recomputes only "
+                        "norms/activations, 'none' disables block remat "
+                        "(needs the activation memory; see docs/PERF.md "
+                        "'Train step')")
     p.add_argument("--device-prefetch", type=int, default=1,
                    help="stage the next batch's H2D transfer from a feeder "
                         "thread while the current step runs (0 = "
@@ -105,6 +113,9 @@ def build_config(a):
         img_dim=a.img_dim, base_channels=a.base_channels, pe_type=a.pe_type,
         compute_dtype="bfloat16" if a.amp else "float32",
         use_pallas_attention=a.pallas_attention,
+        remat=a.remat_policy != "none",
+        remat_policy=("full" if a.remat_policy == "none"
+                      else a.remat_policy),
         **({} if a.img_dim == 128 else {"top_num": min(128, (a.img_dim // 16) ** 3)}))
     # the data crop must match the model's input geometry (the reference
     # couples crop_* args to the 128^3 model, train.py:61-73)

@@ -101,3 +101,41 @@ def test_plain_unet_model_family():
     y = m.apply(params, x, train=False)
     assert y.shape == (1, 32, 32, 32, 4)
     np.testing.assert_allclose(np.asarray(y.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_remat_policies_preserve_loss_and_grads(tiny):
+    """remat and remat_policy are pure execution strategies: loss and
+    gradients must match the no-remat model (same ops, different backward
+    materialization schedule; 'save_convs' keeps the checkpoint_name-tagged
+    conv outputs instead of recomputing them)."""
+    import dataclasses
+    cfg, _, params, x = tiny
+    from dctseg.losses import total_loss
+    target = jnp.zeros((1, 32, 32, 32), jnp.int32).at[0, 10:20, 10:20,
+                                                      10:20].set(1)
+    edge = jnp.zeros((1, 32, 32, 32), jnp.int32).at[0, 10, 10:20,
+                                                    10:20].set(1)
+
+    def loss_and_grads(mcfg):
+        m = build_model(mcfg)
+
+        def loss_fn(p):
+            outs = m.apply(p, x, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+            return total_loss(outs, target, edge)["loss"]
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        return float(loss), grads
+
+    base_loss, base_grads = loss_and_grads(cfg)  # tiny config: remat=False
+    for policy in ("full", "save_convs"):
+        loss, grads = loss_and_grads(
+            dataclasses.replace(cfg, remat=True, remat_policy=policy))
+        np.testing.assert_allclose(loss, base_loss, rtol=1e-6,
+                                   err_msg=policy)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(base_grads)[0],
+                jax.tree_util.tree_flatten_with_path(grads)[0]):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-6,
+                err_msg=f"{policy}: {jax.tree_util.keystr(ka)}")
