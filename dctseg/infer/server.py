@@ -27,6 +27,13 @@ One TPU serves all requests: the handler pool is threaded (keeps socket
 IO and npy decode off the device's critical path) but ``predict`` runs
 under a device lock, so concurrent clients queue for the chip rather than
 interleave programs.
+
+For a PAIRED bundle (``export_serving.py --batch-volumes V``) the server
+additionally coalesces: single-volume requests from concurrent clients
+are gathered for up to ``coalesce_wait_s`` and run as ONE padded B=8V
+forward — the measured-optimal batch (docs/PERF.md "Paired tiling") —
+instead of V serialized programs behind the device lock.  A request that
+already carries the full V volumes keeps the direct path.
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ from __future__ import annotations
 import io
 import json
 import logging
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -68,21 +76,101 @@ def _encode_npy(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+class _Coalescer:
+    """Gathers single-volume requests into one padded paired-bundle call.
+
+    Handler threads ``submit()`` a (1, ...) volume and block; a dispatcher
+    thread drains the queue — waiting up to ``max_wait_s`` after the first
+    arrival for the group to fill to the bundle's V — pads partial groups
+    with zeros, runs ONE B=8V program per output mode under the server's
+    device lock, and fans the per-volume slices back out.  The pad rows'
+    compute is wasted only when traffic is below V concurrent requests,
+    exactly when latency, not throughput, matters."""
+
+    def __init__(self, server: "BundleServer", max_wait_s: float = 0.05):
+        self.server = server
+        self.v = int(server.bundle.manifest.get("batch_volumes", 1))
+        self.max_wait_s = max_wait_s
+        self.last_group_size = 0
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="dctseg-coalescer")
+        self._thread.start()
+
+    def submit(self, x: np.ndarray, output: str) -> np.ndarray:
+        item = {"x": x, "output": output, "ev": threading.Event()}
+        self._q.put(item)
+        item["ev"].wait()
+        if "err" in item:
+            raise item["err"]
+        return item["out"]
+
+    def stop(self) -> None:
+        self._q.put(None)
+
+    def _run(self) -> None:
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            group = [first]
+            deadline = time.time() + self.max_wait_s
+            while len(group) < self.v:
+                try:
+                    nxt = self._q.get(timeout=max(0.0,
+                                                  deadline - time.time()))
+                except queue.Empty:
+                    break
+                if nxt is None:          # shutdown raced a batch: finish it
+                    self._q.put(None)
+                    break
+                group.append(nxt)
+            self.last_group_size = len(group)
+            for output in ("labels", "probs"):
+                sub = [g for g in group if g["output"] == output]
+                if not sub:
+                    continue
+                xs = np.concatenate([g["x"] for g in sub], axis=0)
+                if xs.shape[0] < self.v:   # pad the partial group
+                    xs = np.concatenate(
+                        [xs, np.zeros((self.v - xs.shape[0], *xs.shape[1:]),
+                                      xs.dtype)], axis=0)
+                try:
+                    with self.server._device_lock:
+                        out = np.asarray(
+                            self.server.bundle.labels(xs) if output ==
+                            "labels" else self.server.bundle.predict(xs))
+                    for j, g in enumerate(sub):
+                        g["out"] = out[j:j + 1]
+                except Exception as e:  # noqa: BLE001 - fan out to waiters
+                    for g in sub:
+                        g["err"] = e
+                for g in sub:
+                    g["ev"].set()
+
+
 class BundleServer:
     """A ``ServingBundle`` behind a threaded stdlib HTTP server.
 
     ``port=0`` binds an ephemeral port (read it back from ``.port``) —
     the shape tests use.  ``serve_forever()`` blocks; ``shutdown()`` from
-    another thread stops it.
+    another thread stops it.  ``coalesce=None`` enables request
+    coalescing automatically for paired bundles (batch_volumes > 1).
     """
 
     def __init__(self, bundle: ServingBundle, host: str = "127.0.0.1",
-                 port: int = 8000, *, warmup: bool = True):
+                 port: int = 8000, *, warmup: bool = True,
+                 coalesce: Optional[bool] = None,
+                 coalesce_wait_s: float = 0.05):
         self.bundle = bundle
         self._device_lock = threading.Lock()
         self._requests = 0
         self._last_latency_s: Optional[float] = None
         self._started = time.time()
+        v = int(bundle.manifest.get("batch_volumes", 1))
+        use_coalesce = v > 1 if coalesce is None else (coalesce and v > 1)
+        self._coalescer = (_Coalescer(self, coalesce_wait_s)
+                           if use_coalesce else None)
         if warmup:
             self._warmup()
         handler = self._make_handler()
@@ -112,6 +200,8 @@ class BundleServer:
         # BaseServer.shutdown() blocks on the serve_forever loop's exit
         # event, which is only ever set by the loop — calling it on a
         # server that never served would hang forever.
+        if self._coalescer is not None:
+            self._coalescer.stop()
         if self._serving:
             self._httpd.shutdown()
         self._httpd.server_close()
@@ -137,13 +227,17 @@ class BundleServer:
             x = x[None]
         m = self.bundle.manifest
         v = m.get("batch_volumes", 1)
-        want = (v, *m["input_shape"], m["in_channels"])
+        coalescing = self._coalescer is not None and x.shape[0] == 1
+        want = (1 if coalescing else v,
+                *m["input_shape"], m["in_channels"])
         if tuple(x.shape) != want:
             raise RequestError(
-                f"bundle expects input shape {want}"
+                f"bundle expects input shape {(v, *want[1:])}"
                 + (" (or without the leading 1)" if v == 1 else
-                   f" — a paired bundle takes exactly {v} volumes per "
-                   "request") + f", got {tuple(x.shape)}")
+                   f" — a paired bundle takes {v} volumes per request"
+                   + (", or one volume at a time (server-side "
+                      "coalescing)" if self._coalescer is not None
+                      else "")) + f", got {tuple(x.shape)}")
         if not np.issubdtype(x.dtype, np.floating) and not np.issubdtype(
                 x.dtype, np.integer):
             raise RequestError(f"unsupported input dtype {x.dtype}")
@@ -154,11 +248,14 @@ class BundleServer:
                           for c in range(x.shape[-1])], axis=-1)
                 for v in range(x.shape[0])])
         t0 = time.time()
-        with self._device_lock:
-            if output == "labels":
-                out = np.asarray(self.bundle.labels(x))
-            else:
-                out = np.asarray(self.bundle.predict(x))
+        if coalescing:
+            out = self._coalescer.submit(x, output)
+        else:
+            with self._device_lock:
+                if output == "labels":
+                    out = np.asarray(self.bundle.labels(x))
+                else:
+                    out = np.asarray(self.bundle.predict(x))
         latency = time.time() - t0
         self._last_latency_s = latency
         return _encode_npy(out), latency
@@ -189,13 +286,18 @@ class BundleServer:
             def do_GET(self):
                 path = urlparse(self.path).path
                 if path == "/healthz":
-                    self._reply_json(200, {
+                    health = {
                         "status": "ok",
                         "strategy": server.bundle.strategy,
                         "requests": server._requests,
                         "last_latency_s": server._last_latency_s,
                         "uptime_s": round(time.time() - server._started, 3),
-                    })
+                    }
+                    if server._coalescer is not None:
+                        health["coalesce_volumes"] = server._coalescer.v
+                        health["last_group_size"] = \
+                            server._coalescer.last_group_size
+                    self._reply_json(200, health)
                 elif path == "/v1/manifest":
                     self._reply_json(200, server.bundle.manifest)
                 else:
@@ -249,7 +351,9 @@ class BundleServer:
 
 
 def serve_bundle(bundle_dir: str, host: str = "127.0.0.1", port: int = 8000,
-                 *, warmup: bool = True) -> BundleServer:
+                 *, warmup: bool = True, coalesce: Optional[bool] = None,
+                 coalesce_wait_s: float = 0.05) -> BundleServer:
     """Load ``bundle_dir`` and return a ready (not yet serving) server."""
     return BundleServer(ServingBundle.load(bundle_dir), host, port,
-                        warmup=warmup)
+                        warmup=warmup, coalesce=coalesce,
+                        coalesce_wait_s=coalesce_wait_s)

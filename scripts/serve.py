@@ -32,6 +32,14 @@ def parse_args(argv=None):
                    help="0 binds an ephemeral port")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup warmup predict")
+    p.add_argument("--no-coalesce", action="store_true",
+                   help="paired bundles (--batch-volumes V at export) "
+                        "coalesce concurrent single-volume requests into "
+                        "one padded B=8V forward by default; this forces "
+                        "whole-group requests instead")
+    p.add_argument("--coalesce-wait-ms", type=float, default=50.0,
+                   help="how long the coalescer holds the first request "
+                        "of a group open for companions")
     return p.parse_args(argv)
 
 
@@ -41,7 +49,9 @@ def main(argv=None):
                         format="%(asctime)s %(name)s %(message)s")
     from dctseg.utils.proctitle import set_process_title
     from dctseg.infer.server import serve_bundle
-    server = serve_bundle(a.bundle, a.host, a.port, warmup=not a.no_warmup)
+    server = serve_bundle(a.bundle, a.host, a.port, warmup=not a.no_warmup,
+                          coalesce=False if a.no_coalesce else None,
+                          coalesce_wait_s=a.coalesce_wait_ms / 1e3)
     set_process_title(f"dctseg-serve:{server.port}")
     print(f"listening on http://{server.host}:{server.port}", flush=True)
     try:

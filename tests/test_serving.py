@@ -362,3 +362,89 @@ def test_export_serving_cli_int8_paired_composition(tmp_path):
     y = np.asarray(bundle.predict(jnp.asarray(x)))
     assert y.shape[:4] == (2, 32, 32, 32)
     assert np.isfinite(y).all()
+
+
+class _FakePairedBundle:
+    """Stands in for a paired ServingBundle (batch_volumes=V): records the
+    batch shape of every device call and returns a per-volume fingerprint
+    so the test can check each client got its own volume's answer."""
+
+    strategy = "tiling"
+
+    def __init__(self, v=3, shape=(4, 4, 4), ch=2):
+        self.manifest = {"batch_volumes": v, "input_shape": list(shape),
+                         "in_channels": ch, "input_dtype": "float32",
+                         "strategy": "tiling"}
+        self.calls = []
+
+    def labels(self, x):
+        import time as _t
+        x = np.asarray(x)
+        self.calls.append(x.shape)
+        _t.sleep(0.05)  # device time: lets concurrent clients pile up
+        return np.round(x.mean(axis=(1, 2, 3, 4))[:, None, None, None]
+                        * 100).astype(np.int32) * np.ones((1, 2, 2, 2),
+                                                          np.int32)
+
+    predict = labels
+
+
+def test_server_coalesces_concurrent_single_volume_requests():
+    """Concurrent single-volume clients on a paired bundle must be
+    coalesced into ONE padded B=8V program (docs/PERF.md 'Paired tiling':
+    the measured-optimal batch) instead of V serialized calls — and each
+    client must get its own volume's answer back."""
+    import threading
+    import urllib.request
+    from dctseg.infer.server import BundleServer
+    fake = _FakePairedBundle(v=3)
+    server = BundleServer(fake, port=0, warmup=False, coalesce_wait_s=0.5)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        rng = np.random.default_rng(0)
+        vols = [rng.normal(size=(1, 4, 4, 4, 2)).astype(np.float32)
+                for _ in range(3)]
+        results = [None] * 3
+
+        def post(i):
+            req = urllib.request.Request(base + "/v1/predict",
+                                         data=_npy_bytes(vols[i]),
+                                         method="POST")
+            with urllib.request.urlopen(req) as r:
+                import io
+                results[i] = np.load(io.BytesIO(r.read()))
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i in range(3):
+            want = round(float(vols[i].mean()) * 100)
+            assert results[i] is not None
+            np.testing.assert_array_equal(
+                results[i], np.full((1, 2, 2, 2), want, np.int32))
+        # the three requests ran as ONE B=3 call, not three padded calls
+        assert fake.calls == [(3, 4, 4, 4, 2)], fake.calls
+
+        # a lone request still completes (padded partial group)...
+        fake.calls.clear()
+        post(0)
+        assert fake.calls == [(3, 4, 4, 4, 2)]
+        # ...and a whole-group request takes the direct path
+        grp = np.concatenate(vols, axis=0)
+        req = urllib.request.Request(base + "/v1/predict",
+                                     data=_npy_bytes(grp), method="POST")
+        with urllib.request.urlopen(req) as r:
+            import io
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (3, 2, 2, 2)
+        # healthz reports the coalescer state
+        status, _, body = _http(base + "/healthz")
+        health = json.loads(body)
+        assert status == 200 and health["coalesce_volumes"] == 3
+        assert health["last_group_size"] >= 1
+    finally:
+        server.shutdown()
