@@ -95,15 +95,18 @@ def measure_device_forward(model, params, shape, rep=6):
     x = jnp.asarray(rng.normal(size=shape).astype(np.float32)
                     ).astype(jnp.bfloat16)
 
-    def fwd(c):
-        return model.apply(params, c, train=False)[0].astype(c.dtype)
-
-    def chain(x0):
+    # params travel as runtime arguments (like the Predictor's two-arg
+    # forward) so the chain measures the shipped program, not a
+    # constant-folded variant (Predictor(fold_params=True) is a separate,
+    # measured option — docs/PERF.md)
+    def chain(p, x0):
+        def fwd(c):
+            return model.apply(p, c, train=False)[0].astype(c.dtype)
         y, _ = jax.lax.scan(lambda c, _: (fwd(c), None), x0, None,
                             length=rep)
         return y
 
-    compiled = jax.jit(chain).lower(x).compile()
+    compiled = jax.jit(chain).lower(params, x).compile()
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
@@ -114,7 +117,7 @@ def measure_device_forward(model, params, shape, rep=6):
 
     def run_once():
         t0 = time.perf_counter()
-        y = compiled(x)
+        y = compiled(params, x)
         float(y[(0,) * y.ndim].astype(jnp.float32))  # force full execution
         return (time.perf_counter() - t0) / rep
 

@@ -88,6 +88,12 @@ class ModelConfig:
     #                  for skipping the conv recompute FLOPs.
     # Chosen by measurement on the chip (docs/PERF.md "Train step").
     remat_policy: str = "full"
+    # Fused Pallas InstanceNorm+activation(+residual) in the UNet blocks
+    # (dctseg/ops/pallas/fusednorm.py): guarantees the 2-read/1-write HBM
+    # floor per norm and folds the activation + residual add into the
+    # normalize pass.  Inference-only (no VJP; Trainer rejects it);
+    # rounding-close, not bit-exact (different f32 reduction-tree order).
+    fused_norms: bool = False
     # Run the full-resolution UNet stages on a space-to-depth view (exact
     # weight-transformed convs, ~2.7x faster full-res convs on TPU v5e; see
     # dctseg/ops/s2d.py and docs/PERF.md).  Checkpoint-compatible both ways.

@@ -73,6 +73,7 @@ class ClsWiseFormer(nn.Module):
                                 init_dropout=cfg.init_conv_dropout, dtype=dt,
                                 remat=cfg.remat,
                                 remat_policy=cfg.remat_policy,
+                                fused_norms=cfg.fused_norms,
                                 s2d=cfg.s2d_fullres,
                                 s2d_half=cfg.s2d_halfres,
                                 conv3=cfg.conv3_strategy,
@@ -138,6 +139,7 @@ class ClsWiseFormer(nn.Module):
         self.decoder = Decoder(g["bottleneck_ch"], cfg.num_classes, dtype=dt,
                                remat=cfg.remat,
                                remat_policy=cfg.remat_policy,
+                               fused_norms=cfg.fused_norms,
                                s2d=cfg.s2d_fullres,
                                s2d_half=cfg.s2d_halfres,
                                conv3=cfg.conv3_strategy,

@@ -16,6 +16,8 @@ cls_wise_former.py:691-754).  Norms are InstanceNorm3d-equivalent.
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -42,21 +44,42 @@ from dctseg.ops.norms import instance_norm, leaky_relu
 _ConvParams = ConvParams
 
 
-def _remat_wrap(block_cls, remat: bool, policy: str = "full"):
+def _remat_wrap(block_cls, remat: bool, policy: str = "full", **fixed):
     """Block remat with configurable granularity (ModelConfig.remat_policy).
 
     "full" recomputes the whole block in backward (stores block inputs
     only); "save_convs" saves the checkpoint_name-tagged conv outputs so
     the MXU-bound convolutions are not recomputed — only the cheap
     norm/activation elementwise work is (measured on chip, docs/PERF.md
-    "Train step")."""
+    "Train step").  ``fixed`` kwargs are partially applied to the block
+    constructor (e.g. fused_norms)."""
     if not remat:
-        return block_cls
-    if policy == "save_convs":
-        return nn.remat(block_cls, policy=jax.checkpoint_policies
-                        .save_only_these_names("conv_out"))
-    assert policy == "full", f"unknown remat_policy {policy!r}"
-    return nn.remat(block_cls)
+        cls = block_cls
+    elif policy == "save_convs":
+        cls = nn.remat(block_cls, policy=jax.checkpoint_policies
+                       .save_only_these_names("conv_out"))
+    else:
+        assert policy == "full", f"unknown remat_policy {policy!r}"
+        cls = nn.remat(block_cls)
+    return functools.partial(cls, **fixed) if fixed else cls
+
+
+def _norm_act(x, eps: float, act: str, fused: bool, s2d_view: bool,
+              residual=None):
+    """InstanceNorm + activation (+ residual) with a fused-kernel option.
+
+    The XLA path is the original composition (dctseg/ops/norms.py /
+    ops/s2d.py); ``fused`` routes through the 2-pass Pallas kernel
+    (ops/pallas/fusednorm.py) — inference-only, rounding-close."""
+    if fused:
+        from dctseg.ops.pallas.fusednorm import fused_instance_norm_act
+        fc = x.shape[-1] // (s2dops.B3 if s2d_view else 1)
+        return fused_instance_norm_act(x, fc, eps, act=act,
+                                       residual=residual)
+    y = (s2dops.instance_norm_s2d(x, eps) if s2d_view
+         else instance_norm(x, eps))
+    y = nn.relu(y) if act == "relu" else leaky_relu(y)
+    return y + residual if residual is not None else y
 
 
 class S2DConv3d(nn.Module):
@@ -121,15 +144,14 @@ class _EnBlockS2D(nn.Module):
     eps: float = 1e-5
     conv3: str = "dense"
     quantize: str = "none"
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x):
-        y = s2dops.instance_norm_s2d(x, self.eps)
-        y = nn.relu(y)
+        y = _norm_act(x, self.eps, "relu", self.fused_norms, True)
         y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
                       quantize=self.quantize, name="conv1")(y)
-        y = s2dops.instance_norm_s2d(y, self.eps)
-        y = nn.relu(y)
+        y = _norm_act(y, self.eps, "relu", self.fused_norms, True)
         y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
                       quantize=self.quantize, name="conv2")(y)
         return y + x
@@ -142,16 +164,17 @@ class _EnBlock2S2D(nn.Module):
     eps: float = 1e-5
     conv3: str = "dense"
     quantize: str = "none"
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
                       quantize=self.quantize, name="conv1")(x)
-        y = leaky_relu(s2dops.instance_norm_s2d(y, self.eps))
+        y = _norm_act(y, self.eps, "lrelu", self.fused_norms, True)
         y = S2DConv3d(self.channels, dtype=self.dtype, conv3=self.conv3,
                       quantize=self.quantize, name="conv2")(y)
-        y = leaky_relu(s2dops.instance_norm_s2d(y, self.eps))
-        return y + x
+        return _norm_act(y, self.eps, "lrelu", self.fused_norms, True,
+                         residual=x)
 
 
 class _EnBlock(nn.Module):
@@ -160,15 +183,14 @@ class _EnBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
     quantize: str = "none"
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x):
-        y = instance_norm(x, self.eps)
-        y = nn.relu(y)
+        y = _norm_act(x, self.eps, "relu", self.fused_norms, False)
         y = Conv3d(self.channels, dtype=self.dtype,
                    quantize=self.quantize, name="conv1")(y)
-        y = instance_norm(y, self.eps)
-        y = nn.relu(y)
+        y = _norm_act(y, self.eps, "relu", self.fused_norms, False)
         y = Conv3d(self.channels, dtype=self.dtype,
                    quantize=self.quantize, name="conv2")(y)
         return y + x
@@ -183,16 +205,17 @@ class _EnBlock2(nn.Module):
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
     quantize: str = "none"
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = Conv3d(self.channels, dtype=self.dtype,
                    quantize=self.quantize, name="conv1")(x)
-        y = leaky_relu(instance_norm(y, self.eps))
+        y = _norm_act(y, self.eps, "lrelu", self.fused_norms, False)
         y = Conv3d(self.channels, dtype=self.dtype,
                    quantize=self.quantize, name="conv2")(y)
-        y = leaky_relu(instance_norm(y, self.eps))
-        return y + x
+        return _norm_act(y, self.eps, "lrelu", self.fused_norms, False,
+                         residual=x)
 
 
 class UnetEncoder(nn.Module):
@@ -204,6 +227,7 @@ class UnetEncoder(nn.Module):
     remat: bool = True   # rematerialize residual blocks (full-res 3D conv
                          # activations at 128^3 otherwise OOM a 16GB chip)
     remat_policy: str = "full"  # remat granularity (see _remat_wrap)
+    fused_norms: bool = False  # fused Pallas norm+act in the blocks
     s2d: bool = True     # run the full-res stage space-to-depth (x1_1 is
                          # then returned in the s2d view; the decoder's
                          # matching flag consumes it)
@@ -217,7 +241,9 @@ class UnetEncoder(nn.Module):
     def __call__(self, x, *, train: bool = False):
         b0 = self.base_channels
         if self.s2d:
-            EnBlock = _remat_wrap(_EnBlockS2D, self.remat, self.remat_policy)
+            EnBlock = _remat_wrap(_EnBlockS2D, self.remat,
+                                  self.remat_policy,
+                                  fused_norms=self.fused_norms)
             x = s2dops.space_to_depth(x.astype(self.dtype))
             x = S2DConv3d(b0, dtype=self.dtype, conv3=self.conv3,
                           quantize=self.quantize, name="init_conv")(x)
@@ -236,7 +262,8 @@ class UnetEncoder(nn.Module):
             x = S2DConv3d(b0 * 2, stride=2, dtype=self.dtype,
                           name="down1")(x1_1)
         else:
-            EnBlock = _remat_wrap(_EnBlock, self.remat, self.remat_policy)
+            EnBlock = _remat_wrap(_EnBlock, self.remat, self.remat_policy,
+                                  fused_norms=self.fused_norms)
             x = Conv3d(b0, dtype=self.dtype, name="init_conv")(x)
             # Reference quirk: F.dropout3d is called with training=True even
             # in eval mode (Unet_skipconnection.py:31), making reference
@@ -248,11 +275,13 @@ class UnetEncoder(nn.Module):
             x1_1 = EnBlock(b0, dtype=self.dtype, name="en1_b")(x1_1)
             x = Conv3d(b0 * 2, stride=2, dtype=self.dtype,
                        name="down1")(x1_1)
-        EnBlock = _remat_wrap(_EnBlock, self.remat, self.remat_policy)
+        EnBlock = _remat_wrap(_EnBlock, self.remat, self.remat_policy,
+                              fused_norms=self.fused_norms)
 
         if self.s2d_half:
             EnBlockH = _remat_wrap(_EnBlockS2D, self.remat,
-                                   self.remat_policy)
+                                   self.remat_policy,
+                                   fused_norms=self.fused_norms)
             x = s2dops.space_to_depth(x)
             x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, conv3=self.conv3,
                             quantize=self.quantize, name="en2_a")(x)
@@ -334,6 +363,11 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
     remat_policy: str = "full"  # remat granularity (see _remat_wrap)
+    fused_norms: bool = False  # fused Pallas norm+act(+residual) in blocks
+    tap: str = ""  # profiling: return the named intermediate instead of the
+    # probs ("x8" | "y4" | "y3" | "y3d" | "y2"); section times inside the
+    # decoder come from differencing tapped programs
+    # (scripts/profile_decoder.py) — "" (full decoder) in production
     s2d: bool = True     # full-res stage on the s2d view; x1_1 must arrive
                          # in the s2d view (UnetEncoder(s2d=True))
     s2d_half: bool = True  # half-res stage likewise; x2_1 in the s2d view
@@ -342,7 +376,8 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x1_1, x2_1, x3_1, x):
-        EnBlock2 = _remat_wrap(_EnBlock2, self.remat, self.remat_policy)
+        EnBlock2 = _remat_wrap(_EnBlock2, self.remat, self.remat_policy,
+                               fused_norms=self.fused_norms)
         e = self.embedding_dim
         x8 = Conv3d(e // 2, kernel_size=1, padding=0, dtype=self.dtype,
                     name="down_channel")(x)
@@ -350,23 +385,32 @@ class Decoder(nn.Module):
                       quantize=self.quantize, name="enblock8_1")(x8)
         x8 = EnBlock2(e // 2, dtype=self.dtype,
                       quantize=self.quantize, name="enblock8_2")(x8)
+        if self.tap == "x8":
+            return x8
 
         y4 = DeUpCat(e // 4, dtype=self.dtype, name="deup4")(x8, x3_1)
         y4 = EnBlock2(e // 4, dtype=self.dtype,
                       quantize=self.quantize, name="deblock4")(y4)
         y4 = EnBlock2(e // 4, dtype=self.dtype,
                       quantize=self.quantize, name="deblock4_1")(y4)
+        if self.tap == "y4":
+            return y4
 
         if self.s2d_half:
             Block2H = _remat_wrap(_EnBlock2S2D, self.remat,
-                                  self.remat_policy)
+                                  self.remat_policy,
+                                  fused_norms=self.fused_norms)
             y3 = DeUpCatS2D(e // 8, dtype=self.dtype, name="deup3")(y4, x2_1)
             y3 = Block2H(e // 8, dtype=self.dtype, conv3=self.conv3,
                          quantize=self.quantize, name="deblock3")(y3)
             y3 = Block2H(e // 8, dtype=self.dtype, conv3=self.conv3,
                          quantize=self.quantize, name="deblock3_1")(y3)
+            if self.tap == "y3":
+                return y3
             # back to the plain grid: deup2's 1x1 + upsample read fine chans
             y3 = s2dops.depth_to_space(y3)
+            if self.tap == "y3d":
+                return y3
         else:
             y3 = DeUpCat(e // 8, dtype=self.dtype, name="deup3")(y4, x2_1)
             y3 = EnBlock2(e // 8, dtype=self.dtype, name="deblock3")(y3)
@@ -381,6 +425,8 @@ class Decoder(nn.Module):
                         quantize=self.quantize, name="deblock2")(y2)
             y2 = Block2(e // 16, dtype=self.dtype, conv3=self.conv3,
                         quantize=self.quantize, name="deblock2_1")(y2)
+            if self.tap == "y2":
+                return y2
             y = S2DConv3d(self.num_classes, kernel_size=1,
                           dtype=self.dtype, name="endconv")(y2)
             y = s2dops.depth_to_space(y)
@@ -407,6 +453,7 @@ class PlainUnet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = True
     remat_policy: str = "full"
+    fused_norms: bool = False
     s2d: bool = True
     s2d_half: bool = True
     conv3: str = "dense"
@@ -418,13 +465,14 @@ class PlainUnet(nn.Module):
         enc = UnetEncoder(base_channels=self.base_channels,
                           init_dropout=self.init_dropout, dtype=self.dtype,
                           remat=self.remat, remat_policy=self.remat_policy,
-                          s2d=self.s2d,
+                          fused_norms=self.fused_norms, s2d=self.s2d,
                           s2d_half=self.s2d_half, conv3=self.conv3,
                           quantize=self.quantize, name="unet")
         x1_1, x2_1, x3_1, bottleneck = enc(x, train=train)
         dec = Decoder(self.base_channels * 16, self.num_classes,
                       dtype=self.dtype, remat=self.remat,
-                      remat_policy=self.remat_policy, s2d=self.s2d,
+                      remat_policy=self.remat_policy,
+                      fused_norms=self.fused_norms, s2d=self.s2d,
                       s2d_half=self.s2d_half, conv3=self.conv3,
                       quantize=self.quantize, name="decoder")
         return dec(x1_1, x2_1, x3_1, bottleneck)

@@ -172,6 +172,10 @@ class Trainer:
         assert cfg.model.quantize == "none", (
             "ModelConfig.quantize is an inference-only execution strategy; "
             "train in float/bf16 and quantize at eval")
+        # likewise the fused Pallas norm kernel ships without a VJP
+        assert not cfg.model.fused_norms, (
+            "ModelConfig.fused_norms is an inference-only execution "
+            "strategy (no custom VJP); train with the XLA norms")
         self.loader = PrefetchLoader(
             self.dataset,
             batch_size=self.global_batch // self.num_processes,

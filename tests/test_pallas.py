@@ -98,3 +98,104 @@ def test_model_trains_with_pallas_attention(monkeypatch):
     assert np.isfinite(float(loss))
     qkv = grads["params"]["transformer_01"]["cross"]["attn"]["qkv"]
     assert float(jnp.abs(qkv["Dense_0"]["kernel"]).max()) > 0
+
+
+def test_fused_instance_norm_act_matches_xla_interpret():
+    """The 2-pass fused norm kernel (stats + normalize/act/residual) must
+    match the plain-XLA composition on both plain and s2d-view layouts,
+    all activation modes, with and without residual."""
+    from dctseg.ops.pallas import fusednorm
+    rng = np.random.default_rng(0)
+    for shape, fine in [((2, 4, 4, 4, 16), 16),    # plain: stats per lane
+                        ((2, 4, 4, 4, 32), 4),     # s2d view: 8 offsets
+                        ((1, 8, 8, 8, 24), 3)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 3 + 1)
+        res = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        for act in ("none", "relu", "lrelu"):
+            for r in (None, res):
+                got = fusednorm.fused_instance_norm_act(
+                    x, fine, act=act, residual=r, impl="interpret",
+                    tile_s=32)
+                want = fusednorm._xla_reference(x, fine, 1e-5, act,
+                                                0.01, r)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), rtol=2e-6,
+                    atol=2e-6, err_msg=f"{shape} {act} res={r is not None}")
+
+
+def test_fused_norm_xla_reference_matches_ops_norms():
+    """The kernel's XLA twin must match the model's existing norm ops
+    (the parity-proven definitions) — rounding-close: it flattens the
+    spatial axes before reducing, so the f32 reduction tree differs."""
+    from dctseg.ops.pallas import fusednorm
+    from dctseg.ops.norms import instance_norm, leaky_relu
+    from dctseg.ops import s2d as s2dops
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 4, 6, 6, 16)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fusednorm._xla_reference(x, 16, 1e-5, "lrelu", 0.01,
+                                            None)),
+        np.asarray(leaky_relu(instance_norm(x))), rtol=1e-4, atol=2e-6)
+    x8 = jnp.asarray(rng.normal(size=(2, 4, 4, 4, 32)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fusednorm._xla_reference(x8, 4, 1e-5, "none", 0.01,
+                                            None)),
+        np.asarray(s2dops.instance_norm_s2d(x8)), rtol=1e-6, atol=1e-7)
+
+
+def test_fused_norm_bf16_and_ragged_fallback():
+    """bf16 inputs keep f32 statistics; spatial sizes with no valid tile
+    fall back to the XLA path instead of failing."""
+    from dctseg.ops.pallas import fusednorm
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, 16))
+                    .astype(np.float32)).astype(jnp.bfloat16)
+    got = fusednorm.fused_instance_norm_act(x, 2, act="lrelu",
+                                            impl="interpret", tile_s=32)
+    want = fusednorm._xla_reference(x, 2, 1e-5, "lrelu", 0.01, None)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.02, atol=0.02)
+    # ragged: 3*3*3 spatial has no multiple-of-8 tile -> XLA path, exact
+    xr = jnp.asarray(rng.normal(size=(1, 3, 3, 3, 8)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(fusednorm.fused_instance_norm_act(
+            xr, 8, act="relu", impl="interpret")),
+        np.asarray(fusednorm._xla_reference(xr, 8, 1e-5, "relu", 0.01,
+                                            None)))
+
+
+def test_model_with_fused_norms_interpret(monkeypatch):
+    """ModelConfig(fused_norms=True) must reproduce the XLA model's probs
+    (rounding-close) on the tiny config, and the Trainer must reject the
+    flag (inference-only, no VJP)."""
+    import dataclasses
+    import pytest
+    from dctseg.ops.pallas import fusednorm
+    orig = fusednorm.fused_instance_norm_act
+    monkeypatch.setattr(
+        fusednorm, "fused_instance_norm_act",
+        lambda *a, **k: orig(*a, **{**k, "impl": "interpret"}))
+
+    from dctseg.config import tiny_model_config, Config, DataConfig, \
+        TrainConfig
+    from dctseg.models.clswiseformer import build_model
+    cfg = tiny_model_config(img_dim=16, top_num=2)
+    cfg_f = dataclasses.replace(cfg, fused_norms=True)
+    mf, mn = build_model(cfg_f), build_model(cfg)
+    x = jnp.asarray(np.random.default_rng(3)
+                    .normal(size=(1, 16, 16, 16, 4)).astype(np.float32))
+    params = mn.init(jax.random.PRNGKey(0), x, train=False)
+    pn = np.asarray(mn.apply(params, x, train=False)[0])
+    pf = np.asarray(mf.apply(params, x, train=False)[0])
+    np.testing.assert_allclose(pf, pn, atol=1e-4)
+
+    from dctseg.train.trainer import Trainer
+    tcfg = Config(
+        model=cfg_f,
+        data=DataConfig(synthetic_num_samples=2, input_shape=(16, 16, 16),
+                        pad_depth=16, crop_size=(16, 16, 16)),
+        train=TrainConfig(end_epoch=1))
+    with pytest.raises(AssertionError, match="inference-only"):
+        Trainer(tcfg)
