@@ -334,14 +334,28 @@ class DeUpCatS2D(nn.Module):
     """DeUpCat for the full-res stage on the s2d view: the x2 transpose-conv
     upsample becomes a full-lane 1x1 conv at coarse resolution, the skip
     concat happens in s2d channel groups, and conv3 is the matching
-    block-diagonal pointwise conv.  Identical math to DeUpCat."""
+    block-diagonal pointwise conv.  Identical math to DeUpCat.
+
+    ``s2d_input``: x arrives as the s2d view of its own (half) resolution
+    (the s2d_half decoder stage feeding the s2d full-res stage): conv1
+    runs as the block-diagonal pointwise conv THERE — full MXU lanes vs
+    XLA's slow thin-channel plain 1x1 — and depth_to_space moves half the
+    bytes (16ch instead of 32ch).  Exact reorder of the same ops; chip
+    measurement: 6.9 ms vs 9.0 ms for d2s-then-1x1 (docs/PERF.md r4)."""
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    s2d_input: bool = False
 
     @nn.compact
     def __call__(self, x, skip8):
-        x = Conv3d(self.out_channels, kernel_size=1, padding=0,
-                   dtype=self.dtype, name="conv1")(x)
+        if self.s2d_input:
+            x = S2DConv3d(self.out_channels, kernel_size=1,
+                          groups=(x.shape[-1] // s2dops.B3,),
+                          dtype=self.dtype, name="conv1")(x)
+            x = s2dops.depth_to_space(x)
+        else:
+            x = Conv3d(self.out_channels, kernel_size=1, padding=0,
+                       dtype=self.dtype, name="conv1")(x)
         y8 = S2DDeconv(self.out_channels, dtype=self.dtype, name="up")(x)
         skip_fine = skip8.shape[-1] // s2dops.B3
         y8 = jnp.concatenate([skip8, y8], axis=-1)
@@ -407,8 +421,9 @@ class Decoder(nn.Module):
                          quantize=self.quantize, name="deblock3_1")(y3)
             if self.tap == "y3":
                 return y3
-            # back to the plain grid: deup2's 1x1 + upsample read fine chans
-            y3 = s2dops.depth_to_space(y3)
+            if not self.s2d:
+                # back to the plain grid for the plain deup2
+                y3 = s2dops.depth_to_space(y3)
             if self.tap == "y3d":
                 return y3
         else:
@@ -418,8 +433,12 @@ class Decoder(nn.Module):
 
         if self.s2d:
             Block2 = _remat_wrap(_EnBlock2S2D, self.remat,
-                                  self.remat_policy)
+                                 self.remat_policy,
+                                 fused_norms=self.fused_norms)
+            # with s2d_half on, y3 is still the half-res s2d view: deup2's
+            # conv1 runs there (full lanes) and d2s moves 16ch, not 32
             y2 = DeUpCatS2D(e // 16, dtype=self.dtype,
+                            s2d_input=self.s2d_half,
                             name="deup2")(y3, x1_1)
             y2 = Block2(e // 16, dtype=self.dtype, conv3=self.conv3,
                         quantize=self.quantize, name="deblock2")(y2)
