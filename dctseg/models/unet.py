@@ -448,13 +448,21 @@ class Decoder(nn.Module):
                 return y2
             y = S2DConv3d(self.num_classes, kernel_size=1,
                           dtype=self.dtype, name="endconv")(y2)
-            y = s2dops.depth_to_space(y)
-        else:
-            y2 = DeUpCat(e // 16, dtype=self.dtype, name="deup2")(y3, x1_1)
-            y2 = EnBlock2(e // 16, dtype=self.dtype, name="deblock2")(y2)
-            y2 = EnBlock2(e // 16, dtype=self.dtype, name="deblock2_1")(y2)
-            y = Conv3d(self.num_classes, kernel_size=1, padding=0,
-                       dtype=self.dtype, name="endconv")(y2)
+            # softmax on the s2d layout (each class group o*C+c holds the
+            # SAME summands), THEN depth_to_space: XLA fuses the transpose
+            # into the softmax's output write instead of paying a separate
+            # f32 round trip — bit-exact, 21.4 -> 13.7 ms measured on chip
+            # (docs/PERF.md r4 "endconv tail")
+            n, d, h, w, cb = y.shape
+            y = nn.softmax(
+                y.astype(jnp.float32).reshape(n, d, h, w, s2dops.B3,
+                                              self.num_classes), axis=-1)
+            return s2dops.depth_to_space(y.reshape(n, d, h, w, cb))
+        y2 = DeUpCat(e // 16, dtype=self.dtype, name="deup2")(y3, x1_1)
+        y2 = EnBlock2(e // 16, dtype=self.dtype, name="deblock2")(y2)
+        y2 = EnBlock2(e // 16, dtype=self.dtype, name="deblock2_1")(y2)
+        y = Conv3d(self.num_classes, kernel_size=1, padding=0,
+                   dtype=self.dtype, name="endconv")(y2)
         return nn.softmax(y.astype(jnp.float32), axis=-1)
 
 
