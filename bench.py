@@ -48,6 +48,11 @@ N_VOLS = 4
 LADDER = [("int8", 2), (None, 3), ("int8", 1), (None, 2), (None, 1)]
 PEAK_TFLOPS_BF16 = 197.0
 PEAK_TOPS_INT8 = 394.0
+# Logical model FLOPs of one B=8 eval forward at the FINE-grid conv shapes
+# (what the model mathematically computes; the s2d execution strategy
+# deliberately executes ~5.5x more because dense MXU feeding is faster —
+# docs/PERF.md r4).  From scripts/profile_decoder.py --only flops.
+LOGICAL_FLOPS_B8 = 4.232e12
 
 
 def _wait_for_accelerator(max_attempts=36, probe_timeout=240):
@@ -81,12 +86,18 @@ def _wait_for_accelerator(max_attempts=36, probe_timeout=240):
 
 def measure_device_forward(model, params, shape, rep=6):
     """Per-forward device seconds + HLO flops for ``model.apply`` at
-    ``shape``, via a data-dependent ``lax.scan`` chain of ``rep`` forwards
-    in ONE program (single-call timings on this container are ~25-35 ms
-    relay-dispatch-bound, and a loop-invariant chain gets hoisted by XLA
-    and fakes the number — docs/PERF.md "Measurement pitfalls").  The
-    probs output feeds back as the next input (C == M == 4), making every
-    iteration data-dependent."""
+    ``shape``.
+
+    Timing comes from a data-dependent ``lax.scan`` chain of ``rep``
+    forwards in ONE program (single-call timings on this container are
+    ~25-35 ms relay-dispatch-bound, and a loop-invariant chain gets
+    hoisted by XLA and fakes the number — docs/PERF.md "Measurement
+    pitfalls"); the probs output feeds back as the next input (C == M ==
+    4), making every iteration data-dependent.  FLOPs come from a
+    separate single-forward compile: cost analysis of the scan program
+    counts the body once (or twice when XLA peels an iteration), so
+    dividing by rep under-reports — measured 3.9 T "per rep" vs 23.4 T
+    for the true single B=8 forward (docs/PERF.md r4)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -94,6 +105,17 @@ def measure_device_forward(model, params, shape, rep=6):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=shape).astype(np.float32)
                     ).astype(jnp.bfloat16)
+
+    try:
+        single = jax.jit(
+            lambda p, c: model.apply(p, c, train=False)[0]
+        ).lower(params, x).compile()
+        cost = single.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", -1.0))
+    except Exception:  # noqa: BLE001 - cost analysis may be unavailable
+        flops = -1.0
 
     # params travel as runtime arguments (like the Predictor's two-arg
     # forward) so the chain measures the shipped program, not a
@@ -107,13 +129,6 @@ def measure_device_forward(model, params, shape, rep=6):
         return y
 
     compiled = jax.jit(chain).lower(params, x).compile()
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0] if cost else {}
-        flops = float(cost.get("flops", -1.0))
-    except Exception:  # noqa: BLE001 - cost analysis may be unavailable
-        flops = -1.0
 
     def run_once():
         t0 = time.perf_counter()
@@ -123,8 +138,7 @@ def measure_device_forward(model, params, shape, rep=6):
 
     run_once()                        # warm (compile already done; relay)
     dt = min(run_once() for _ in range(2))
-    return {"device_s_forward": dt,
-            "flops_forward": flops / rep if flops > 0 else -1.0}
+    return {"device_s_forward": dt, "flops_forward": flops}
 
 
 def main():
@@ -271,6 +285,7 @@ def main():
         extras["device_ms_per_volume"] = round(dt * 1e3 / v, 1)
         if flops > 0:
             ach = flops / dt / 1e12
+            logical = LOGICAL_FLOPS_B8 * v
             peak = PEAK_TOPS_INT8 if quant == "int8" else PEAK_TFLOPS_BF16
             extras.update({
                 "hlo_flops_forward": flops,
@@ -279,8 +294,12 @@ def main():
                 # crops/stitch, relay overhead included)
                 "achieved_tflops_wall": round(flops / v * vps / 1e12, 1),
                 "peak_tflops": peak,
+                # executed-HLO utilization (hardware efficiency)
                 "mfu": round(ach / peak, 3),
                 "mfu_vs_bf16_peak": round(ach / PEAK_TFLOPS_BF16, 3),
+                # logical-FLOPs MFU (model math per second vs peak)
+                "logical_tflops_device": round(logical / dt / 1e12, 1),
+                "logical_mfu": round(logical / dt / 1e12 / peak, 3),
             })
     except Exception as e:  # noqa: BLE001 - efficiency probe is best-effort
         print(f"bench: device-time probe skipped ({type(e).__name__}: "
