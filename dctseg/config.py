@@ -86,7 +86,10 @@ class ModelConfig:
     #                  only the cheap norm/activation elementwise work is —
     #                  trades ~0.5 GB of saved conv activations (B=1 128^3)
     #                  for skipping the conv recompute FLOPs.
-    # Chosen by measurement on the chip (docs/PERF.md "Train step").
+    # Measured on chip (docs/PERF.md round-4 remat sweep, B=1 128^3 bf16):
+    # no remat fits and is 23% faster (112 vs 146 ms/step); save_convs buys
+    # nothing over full (backward is bandwidth- not FLOP-bound).
+    # scripts/train.py therefore defaults to remat=False under --amp.
     remat_policy: str = "full"
     # Fused Pallas InstanceNorm+activation(+residual) in the UNet blocks
     # (dctseg/ops/pallas/fusednorm.py): guarantees the 2-read/1-write HBM

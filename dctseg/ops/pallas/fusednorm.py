@@ -77,15 +77,22 @@ def _act(y, act: str, slope: float):
     return y
 
 
+# The activation runs in f32 BEFORE the downcast: Mosaic has no bf16
+# vector compare ("Target does not support this comparison"), and the f32
+# compare is free inside the same pass.  (The XLA path activates after
+# the cast — a sub-ulp difference only for values whose bf16 rounding
+# crosses zero; within the kernel's rounding-close contract.)
+
+
 def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, act: str, slope: float):
-    y = x_ref[0].astype(jnp.float32) * a_ref[0] + b_ref[0]
-    o_ref[0] = _act(y.astype(o_ref.dtype), act, slope)
+    y = x_ref[0].astype(jnp.float32) * a_ref[0, 0] + b_ref[0, 0]
+    o_ref[0] = _act(y, act, slope).astype(o_ref.dtype)
 
 
 def _apply_res_kernel(x_ref, a_ref, b_ref, r_ref, o_ref, *, act: str,
                       slope: float):
-    y = x_ref[0].astype(jnp.float32) * a_ref[0] + b_ref[0]
-    o_ref[0] = _act(y.astype(o_ref.dtype), act, slope) + r_ref[0]
+    y = x_ref[0].astype(jnp.float32) * a_ref[0, 0] + b_ref[0, 0]
+    o_ref[0] = _act(y, act, slope).astype(o_ref.dtype) + r_ref[0]
 
 
 def _pick_tile(s: int, dtype, cap: int = 1024) -> int:
@@ -160,16 +167,18 @@ def fused_instance_norm_act(x: jnp.ndarray, fine_channels: int,
     var = jnp.maximum(st[:, 1] / cnt - jnp.square(mean), 0.0)
     a = jax.lax.rsqrt(var + eps)                            # (N, C)
     b = -mean * a
-    # back to offset-major (N, CB): lane o*C + c carries fine channel c
-    a = jnp.tile(a, (1, o))
-    b = jnp.tile(b, (1, o))
+    # back to offset-major (N, CB): lane o*C + c carries fine channel c.
+    # Shaped (N, 1, CB) so the per-sample block (1, 1, CB) satisfies
+    # Mosaic's trailing-dims rule (block == full array dims there).
+    a = jnp.tile(a, (1, o))[:, None, :]
+    b = jnp.tile(b, (1, o))[:, None, :]
 
     kernel = (_apply_res_kernel if residual is not None else _apply_kernel)
     operands = [xr, a, b]
     in_specs = [
         pl.BlockSpec((1, ts, cb), lambda i, t: (i, t, 0)),
-        pl.BlockSpec((1, cb), lambda i, t: (i, 0)),
-        pl.BlockSpec((1, cb), lambda i, t: (i, 0)),
+        pl.BlockSpec((1, 1, cb), lambda i, t: (i, 0, 0)),
+        pl.BlockSpec((1, 1, cb), lambda i, t: (i, 0, 0)),
     ]
     if residual is not None:
         operands.append(residual.reshape(n, s, cb))

@@ -78,14 +78,16 @@ def parse_args(argv=None):
     p.add_argument("--no-amp-lr-quirk", action="store_true",
                    help="with --amp, keep the plain poly schedule")
     p.add_argument("--pallas-attention", action="store_true")
-    p.add_argument("--remat-policy", default="full",
+    p.add_argument("--remat-policy", default=None,
                    choices=["full", "save_convs", "none"],
                    help="backward rematerialization granularity: 'full' "
                         "recomputes whole residual blocks, 'save_convs' "
                         "saves the MXU conv outputs and recomputes only "
                         "norms/activations, 'none' disables block remat "
-                        "(needs the activation memory; see docs/PERF.md "
-                        "'Train step')")
+                        "(needs the activation memory).  Default: 'none' "
+                        "under --amp (measured 23%% faster and fits at "
+                        "B=1 128^3 bf16 — docs/PERF.md remat sweep), "
+                        "'full' for fp32 where activations are 2x")
     p.add_argument("--device-prefetch", type=int, default=1,
                    help="stage the next batch's H2D transfer from a feeder "
                         "thread while the current step runs (0 = "
@@ -109,13 +111,17 @@ def parse_args(argv=None):
 
 def build_config(a):
     from dctseg.config import (Config, DataConfig, ModelConfig, TrainConfig)
+    # Measured remat sweep (docs/PERF.md round 4): at B=1 128^3 bf16 the
+    # activations fit without remat and 'none' is 23% faster per step;
+    # fp32 doubles them and was never measured to fit, so it keeps 'full'.
+    remat_policy = a.remat_policy or ("none" if a.amp else "full")
     model = ModelConfig(
         img_dim=a.img_dim, base_channels=a.base_channels, pe_type=a.pe_type,
         compute_dtype="bfloat16" if a.amp else "float32",
         use_pallas_attention=a.pallas_attention,
-        remat=a.remat_policy != "none",
-        remat_policy=("full" if a.remat_policy == "none"
-                      else a.remat_policy),
+        remat=remat_policy != "none",
+        remat_policy=("full" if remat_policy == "none"
+                      else remat_policy),
         **({} if a.img_dim == 128 else {"top_num": min(128, (a.img_dim // 16) ** 3)}))
     # the data crop must match the model's input geometry (the reference
     # couples crop_* args to the 128^3 model, train.py:61-73)

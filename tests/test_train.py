@@ -336,8 +336,16 @@ def test_train_cli_build_config():
     assert cfg.train.end_epoch == 7 and cfg.train.lr == 3e-4
     # the data crop follows the model geometry
     assert cfg.data.crop_size == (32, 32, 32)
+    # measured remat defaults (docs/PERF.md round-4 sweep): no remat under
+    # --amp (fits at bf16 and is 23% faster), full-block remat for fp32
+    assert cfg.model.remat is False
     a2 = train_mod.parse_args(["--amp", "--no-amp-lr-quirk"])
     assert train_mod.build_config(a2).train.amp_lr_restart_epoch is None
+    assert train_mod.build_config(train_mod.parse_args([])).model.remat
+    a_override = train_mod.parse_args(["--amp", "--remat-policy",
+                                       "save_convs"])
+    cfg_o = train_mod.build_config(a_override)
+    assert cfg_o.model.remat and cfg_o.model.remat_policy == "save_convs"
     a3 = train_mod.parse_args(["--img-dim", "32", "--input-shape",
                                "48", "48", "40"])
     cfg3 = train_mod.build_config(a3)
