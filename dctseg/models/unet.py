@@ -236,6 +236,11 @@ class UnetEncoder(nn.Module):
     conv3: str = "dense"   # 3^3 conv strategy on s2d views (see ops/s2d.py)
     quantize: str = "none"  # "int8": dynamic PTQ for the MXU-bound 3^3
     # convs (dense-s2d stages + >=64ch direct stages); inference-only
+    tap: str = ""  # profiling: return the named intermediate alone instead
+    # of the 4-tuple ("s2d_in" | "init" | "en1" | "down1" | "half_in" |
+    # "en2" | "down2" | "en3" | "down3" | "en4"); section times come from
+    # differencing tapped programs (scripts/profile_decoder.py --only enc).
+    # Taps assume the default s2d/s2d_half layout; "" in production.
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -244,7 +249,14 @@ class UnetEncoder(nn.Module):
             EnBlock = _remat_wrap(_EnBlockS2D, self.remat,
                                   self.remat_policy,
                                   fused_norms=self.fused_norms)
+            # NOT the Pallas relayout kernel (ops/pallas/relayout.py):
+            # in-model XLA fuses this transpose into init_conv's input
+            # gather, and the opaque kernel boundary that wins standalone
+            # (15.0 vs 20.1 ms) loses fused (+4.8 ms on the B=8 forward)
+            # — docs/PERF.md "input space_to_depth"
             x = s2dops.space_to_depth(x.astype(self.dtype))
+            if self.tap == "s2d_in":
+                return x
             x = S2DConv3d(b0, dtype=self.dtype, conv3=self.conv3,
                           quantize=self.quantize, name="init_conv")(x)
             # spatial dropout zeroes whole fine channels: reshape so the
@@ -255,12 +267,18 @@ class UnetEncoder(nn.Module):
                            broadcast_dims=(1, 2, 3, 4),
                            deterministic=not train)(x)
             x = x.reshape(n, d, h, w, cb)
+            if self.tap == "init":
+                return x
             x1_1 = EnBlock(b0, dtype=self.dtype, conv3=self.conv3,
                            quantize=self.quantize, name="en1_a")(x)
             x1_1 = EnBlock(b0, dtype=self.dtype, conv3=self.conv3,
                            quantize=self.quantize, name="en1_b")(x1_1)
+            if self.tap == "en1":
+                return x1_1
             x = S2DConv3d(b0 * 2, stride=2, dtype=self.dtype,
                           name="down1")(x1_1)
+            if self.tap == "down1":
+                return x
         else:
             EnBlock = _remat_wrap(_EnBlock, self.remat, self.remat_policy,
                                   fused_norms=self.fused_norms)
@@ -283,12 +301,18 @@ class UnetEncoder(nn.Module):
                                    self.remat_policy,
                                    fused_norms=self.fused_norms)
             x = s2dops.space_to_depth(x)
+            if self.tap == "half_in":
+                return x
             x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, conv3=self.conv3,
                             quantize=self.quantize, name="en2_a")(x)
             x2_1 = EnBlockH(b0 * 2, dtype=self.dtype, conv3=self.conv3,
                             quantize=self.quantize, name="en2_b")(x2_1)
+            if self.tap == "en2":
+                return x2_1
             x = S2DConv3d(b0 * 4, stride=2, dtype=self.dtype,
                           name="down2")(x2_1)
+            if self.tap == "down2":
+                return x
         else:
             x2_1 = EnBlock(b0 * 2, dtype=self.dtype, name="en2_a")(x)
             x2_1 = EnBlock(b0 * 2, dtype=self.dtype, name="en2_b")(x2_1)
@@ -299,8 +323,12 @@ class UnetEncoder(nn.Module):
                        quantize=self.quantize, name="en3_a")(x)
         x3_1 = EnBlock(b0 * 4, dtype=self.dtype,
                        quantize=self.quantize, name="en3_b")(x3_1)
+        if self.tap == "en3":
+            return x3_1
         x = Conv3d(b0 * 8, stride=2, dtype=self.dtype,
                    quantize=self.quantize, name="down3")(x3_1)
+        if self.tap == "down3":
+            return x
 
         x4_1 = EnBlock(b0 * 8, dtype=self.dtype,
                        quantize=self.quantize, name="en4_a")(x)
@@ -310,6 +338,8 @@ class UnetEncoder(nn.Module):
         # Unet_skipconnection.py:70-77,109)
         x4_1 = Conv3d(b0 * 16, stride=1, dtype=self.dtype,
                       quantize=self.quantize, name="widen")(x4_1)
+        if self.tap == "en4":
+            return x4_1
         return x1_1, x2_1, x3_1, x4_1
 
 

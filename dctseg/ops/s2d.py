@@ -44,11 +44,21 @@ CONV3_STRATEGY = "dense"
 
 
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
-    """(N, D, H, W, C) -> (N, D/2, H/2, W/2, 8C), offset-major channels."""
+    """(N, D, H, W, C) -> (N, D/2, H/2, W/2, 8C), offset-major channels.
+
+    Staged exact-order form: (ix, c) are already adjacent-contiguous (a
+    free reshape), then one pass moves iy past w/2 (2C-element runs) and
+    one moves iz past (h/2, w/2) (4C-element runs).  Bit-identical to the
+    single 8-d transpose, but each pass has ONE moving dim instead of
+    three, which XLA's transpose emitter handles 2.2x faster at the
+    4-channel input shape (20.7 -> 9.4 ms standalone, -2 ms on the B=8
+    eval forward — docs/PERF.md "input space_to_depth")."""
     n, d, h, w, c = x.shape
-    x = x.reshape(n, d // B, B, h // B, B, w // B, B, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
-    return x.reshape(n, d // B, h // B, w // B, B3 * c)
+    y = x.reshape(n, d, h // B, B, w // B, B * c)
+    y = y.transpose(0, 1, 2, 4, 3, 5)
+    y = y.reshape(n, d // B, B, h // B, w // B, B * B * c)
+    y = y.transpose(0, 1, 3, 4, 2, 5)
+    return y.reshape(n, d // B, h // B, w // B, B3 * c)
 
 
 def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:

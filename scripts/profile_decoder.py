@@ -36,8 +36,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=REP)
     ap.add_argument("--only", default="",
-                    help="comma list: sections,norm,block,model,fold,"
-                         "deup2,flops")
+                    help="comma list: sections,enc,initconv,norm,block,"
+                         "model,fold,deup2,flops")
     args = ap.parse_args()
     only = set(t for t in args.only.split(",") if t)
 
@@ -130,6 +130,247 @@ def main():
             print(f"  {desc:36s} {dt * 1e3:8.2f} ms", flush=True)
             prev = cum[tap]
         results["sections"] = {t: cum[t] for t in cum}
+
+    if want("enc"):
+        print("\n== encoder sections (B=8 bf16, cumulative taps) ==",
+              flush=True)
+        from dctseg.models.unet import UnetEncoder
+        enc_params = {"params": params["params"]["unet"]}
+        xin = rand((B, 128, 128, 128, 4), jnp.float32)
+        taps = ["s2d_in", "init", "en1", "down1", "half_in", "en2",
+                "down2", "en3", "down3", "en4"]
+        cum = {}
+        for tap in taps:
+            em = UnetEncoder(dtype=jnp.bfloat16, remat=False, tap=tap,
+                             name=None)
+
+            def step(x_, em=em):
+                y = em.apply(enc_params, x_, train=False)
+                eps = (y.astype(jnp.float32).ravel()[0] * 0
+                       ).astype(x_.dtype)
+                return x_ + eps
+
+            def chained(x_, step=step):
+                c, _ = jax.lax.scan(lambda c, _: (step(c), None), x_, None,
+                                    length=rep)
+                return c
+
+            compiled = jax.jit(chained).lower(xin).compile()
+
+            def once(compiled=compiled):
+                t0 = time.perf_counter()
+                y = compiled(xin)
+                float(y.ravel()[0].astype("float32"))
+                return (time.perf_counter() - t0) / rep
+
+            once()
+            ts = sorted(once() for _ in range(3))
+            cum[tap] = ts[0]
+            print(f"  tap {tap:8s}: {ts[0] * 1e3:8.2f} ms "
+                  f"(rounds {[round(t * 1e3, 2) for t in ts]})", flush=True)
+        names = [("s2d_in", "input cast + space_to_depth"),
+                 ("init", "init_conv 4->16 (s2d 32->128)"),
+                 ("en1", "en1_a/b x2 full-res s2d 16ch"),
+                 ("down1", "down1 stride-2 -> plain 64^3x32"),
+                 ("half_in", "space_to_depth to half-res view"),
+                 ("en2", "en2_a/b x2 half-res s2d 32ch"),
+                 ("down2", "down2 stride-2 -> 32^3x64"),
+                 ("en3", "en3_a/b x2 @32^3 64ch"),
+                 ("down3", "down3 stride-2 -> 16^3x128"),
+                 ("en4", "en4_a/b x2 + widen @16^3")]
+        prev = 0.0
+        print("  -- section deltas --")
+        for tap, desc in names:
+            dt = cum[tap] - prev
+            print(f"  {desc:36s} {dt * 1e3:8.2f} ms", flush=True)
+            prev = cum[tap]
+        results["enc"] = {t: cum[t] for t in cum}
+
+    if want("relayout"):
+        print("\n== input space_to_depth: XLA vs Pallas relayout kernel ==",
+              flush=True)
+        from dctseg.ops.pallas import relayout
+        for lbl, shape, in_dt, out_dt in [
+                ("input s2d f32->bf16 (8,128^3,4)",
+                 (B, 128, 128, 128, 4), jnp.float32, jnp.bfloat16),
+                ("input s2d bf16 (8,128^3,4)",
+                 (B, 128, 128, 128, 4), jnp.bfloat16, jnp.bfloat16),
+                ("half_in s2d bf16 (8,64^3,32)",
+                 (B, 64, 64, 64, 32), jnp.bfloat16, jnp.bfloat16)]:
+            x0 = rand(shape, in_dt)
+            ya = s2dops.space_to_depth(x0.astype(out_dt))
+            yb = relayout.space_to_depth(x0, out_dt, "pallas")
+            biteq = bool(jnp.all(ya.astype(jnp.float32)
+                                 == yb.astype(jnp.float32)))
+            print(f"  {lbl}: bit-identical = {biteq}", flush=True)
+            for impl, f in [
+                    ("xla", lambda x, o=out_dt: s2dops.space_to_depth(
+                        x.astype(o))),
+                    ("pallas", lambda x, o=out_dt: relayout.space_to_depth(
+                        x, o, "pallas"))]:
+                def fn(x, f=f):
+                    out = f(x)
+                    eps = (out.astype(jnp.float32).ravel()[0] * 0
+                           ).astype(x.dtype)
+                    return x + eps
+
+                def chained(x, fn=fn):
+                    c, _ = jax.lax.scan(lambda c, _: (fn(c), None), x,
+                                        None, length=rep)
+                    return c
+
+                compiled = jax.jit(chained).lower(x0).compile()
+
+                def once(compiled=compiled):
+                    t0 = time.perf_counter()
+                    out = compiled(x0)
+                    float(out.ravel()[0].astype("float32"))
+                    return (time.perf_counter() - t0) / rep
+
+                once()
+                ts = sorted(once() for _ in range(3))
+                print(f"    {impl:8s} {ts[0] * 1e3:8.3f} ms (rounds "
+                      f"{[round(t * 1e3, 3) for t in ts]})", flush=True)
+
+    if want("s2dforms"):
+        print("\n== bf16 input s2d: alternative XLA formulations ==",
+              flush=True)
+        x0 = rand((B, 128, 128, 128, 4))
+
+        def v_composite(x):
+            return s2dops.space_to_depth(x)
+
+        def v_twostage(x):
+            # stage 1: d-parity inward (inner run c=4); stage 2: h/w
+            # parities (inner run 8)
+            n, d, h, w, c = x.shape
+            y = x.reshape(n, d // 2, 2, h, w, c).transpose(
+                0, 1, 3, 4, 2, 5).reshape(n, d // 2, h, w, 2 * c)
+            y = y.reshape(n, d // 2, h // 2, 2, w // 2, 2, 2 * c)
+            y = y.transpose(0, 1, 2, 4, 3, 5, 6)
+            # (iy, ix, iz*c+ch) -> offset-major needs (iz, iy, ix, ch):
+            # NOT the target order; this variant only measures transpose
+            # cost structure, not final layout (see note below)
+            return y.reshape(n, d // 2, h // 2, w // 2, 8 * c)
+
+        def v_convgather(x):
+            # s2d as a (2,2,2,C,8C) stride-2 conv with one-hot weights:
+            # out lane o*C+c reads tap (iz,iy,ix)=o, channel c
+            c = x.shape[-1]
+            w = np.zeros((2, 2, 2, c, 8 * c), np.float32)
+            for o in range(8):
+                iz, iy, ix = o >> 2 & 1, o >> 1 & 1, o & 1
+                for ch in range(c):
+                    w[iz, iy, ix, ch, o * c + ch] = 1.0
+            return jax.lax.conv_general_dilated(
+                x, jnp.asarray(w).astype(x.dtype), (2, 2, 2),
+                [(0, 0)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=x.dtype)
+
+        def v_staged_exact(x):
+            # EXACT offset-major order in two real passes: (ix,c) are
+            # already adjacent-contiguous (free reshape), then move iy
+            # past w2 (8-element runs), then iz past (h2,w2) (16-element
+            # runs) — each pass has one moving dim instead of three
+            n, d, h, w, c = x.shape
+            y = x.reshape(n, d, h, w // 2, 2 * c)            # free
+            y = y.reshape(n, d, h // 2, 2, w // 2, 2 * c)
+            y = y.transpose(0, 1, 2, 4, 3, 5)                # pass 1
+            y = y.reshape(n, d // 2, 2, h // 2, w // 2, 4 * c)
+            y = y.transpose(0, 1, 3, 4, 2, 5)                # pass 2
+            return y.reshape(n, d // 2, h // 2, w // 2, 8 * c)
+
+        ya = v_composite(x0)
+        yc = v_convgather(x0)
+        ys = v_staged_exact(x0)
+        print("  conv-gather bit-identical =",
+              bool(jnp.all(ya == yc)), flush=True)
+        print("  staged-exact bit-identical =",
+              bool(jnp.all(ya == ys)), flush=True)
+
+        for lbl, f in [("composite transpose (current)", v_composite),
+                       ("two-stage transpose (layout probe)", v_twostage),
+                       ("staged exact-order (2 passes)", v_staged_exact),
+                       ("conv-as-gather one-hot", v_convgather)]:
+            def fn(x, f=f):
+                out = f(x)
+                eps = (out.astype(jnp.float32).ravel()[0] * 0
+                       ).astype(x.dtype)
+                return x + eps
+
+            def chained(x, fn=fn):
+                c, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, None,
+                                    length=rep)
+                return c
+
+            compiled = jax.jit(chained).lower(x0).compile()
+
+            def once(compiled=compiled):
+                t0 = time.perf_counter()
+                out = compiled(x0)
+                float(out.ravel()[0].astype("float32"))
+                return (time.perf_counter() - t0) / rep
+
+            once()
+            ts = sorted(once() for _ in range(3))
+            print(f"  {lbl:36s} {ts[0] * 1e3:8.3f} ms (rounds "
+                  f"{[round(t * 1e3, 3) for t in ts]})", flush=True)
+
+    if want("initconv"):
+        print("\n== init path: s2d transpose + dense conv vs direct "
+              "fine->s2d conv ==", flush=True)
+        # the encoder profile shows the input space_to_depth alone costs
+        # ~39 ms (vs ~2 ms floor): XLA's transpose emitter on a 4-channel
+        # trailing dim reads 8-byte runs.  Variant B removes the transpose
+        # entirely: the 3^3 stride-1 fine conv is re-expressed as a
+        # (4,4,4,Ci,8Co) stride-2 conv from the RAW fine grid straight to
+        # the s2d view (fine_conv_kernel, already exact by test).
+        w = rand((3, 3, 3, 4, 16), jnp.float32)
+        xf = rand((B, 128, 128, 128, 4), jnp.float32)
+
+        def variant_a(x, w_):
+            x8 = s2dops.space_to_depth(x.astype(jnp.bfloat16))
+            return s2dops.conv3d_s2d(
+                x8, s2dops.conv_kernel(w_.astype(jnp.bfloat16)),
+                padding=(1, 1))
+
+        def variant_b(x, w_):
+            return s2dops.conv3d_fine_s2dout(
+                x.astype(jnp.bfloat16),
+                s2dops.fine_conv_kernel(w_.astype(jnp.bfloat16)))
+
+        ya = variant_a(xf, w)
+        yb = variant_b(xf, w)
+        err = float(jnp.max(jnp.abs(ya.astype(jnp.float32)
+                                    - yb.astype(jnp.float32))))
+        print(f"  max |A - B| = {err:.3e}", flush=True)
+
+        for lbl, f in [("A: s2d -> dense 32->128 conv", variant_a),
+                       ("B: fine (4,4,4,4,128) s2 conv", variant_b)]:
+            def fn(x, w_, f=f):
+                out = f(x, w_)
+                eps = (out.astype(jnp.float32).ravel()[0] * 0
+                       ).astype(x.dtype)
+                return (x + eps, w_)
+
+            def chained(x, w_, fn=fn):
+                c, _ = jax.lax.scan(lambda c, _: (fn(*c), None), (x, w_),
+                                    None, length=rep)
+                return c[0]
+
+            compiled = jax.jit(chained).lower(xf, w).compile()
+
+            def once(compiled=compiled):
+                t0 = time.perf_counter()
+                out = compiled(xf, w)
+                float(out.ravel()[0].astype("float32"))
+                return (time.perf_counter() - t0) / rep
+
+            once()
+            ts = sorted(once() for _ in range(3))
+            print(f"  {lbl:32s} {ts[0] * 1e3:8.3f} ms (rounds "
+                  f"{[round(t * 1e3, 3) for t in ts]})", flush=True)
 
     if want("norm"):
         print("\n== fused norm kernel vs XLA (s2d full-res shape) ==",

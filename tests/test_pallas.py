@@ -199,3 +199,61 @@ def test_model_with_fused_norms_interpret(monkeypatch):
         train=TrainConfig(end_epoch=1))
     with pytest.raises(AssertionError, match="inference-only"):
         Trainer(tcfg)
+
+
+def test_pallas_space_to_depth_bit_identical_interpret():
+    """The relayout kernel is a pure permutation (+ cast): bit-identical
+    to s2dops.space_to_depth at both encoder call-site shapes."""
+    from dctseg.ops import s2d as s2dops
+    from dctseg.ops.pallas import relayout
+    rng = np.random.default_rng(0)
+    for shape, in_dt, out_dt in [
+            ((2, 4, 32, 32, 4), np.float32, jnp.bfloat16),   # input s2d
+            ((2, 4, 32, 32, 4), np.float32, None),
+            ((1, 4, 32, 4, 32), np.float32, jnp.bfloat16),   # half_in s2d
+    ]:
+        x = jnp.asarray(rng.normal(size=shape).astype(in_dt))
+        if out_dt is not None and out_dt == jnp.bfloat16:
+            x_b = x.astype(jnp.bfloat16)
+            for xi in (x, x_b):   # f32 and bf16 inputs
+                got = relayout.space_to_depth(xi, jnp.bfloat16,
+                                              "interpret")
+                want = s2dops.space_to_depth(xi.astype(jnp.bfloat16))
+                assert got.dtype == want.dtype
+                np.testing.assert_array_equal(
+                    np.asarray(got.astype(jnp.float32)),
+                    np.asarray(want.astype(jnp.float32)))
+        else:
+            got = relayout.space_to_depth(x, out_dt, "interpret")
+            want = s2dops.space_to_depth(x)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_space_to_depth_fallback_and_grad():
+    """Ragged shapes fall back to XLA (identical); the custom VJP matches
+    the XLA path's gradient."""
+    from dctseg.ops import s2d as s2dops
+    from dctseg.ops.pallas import relayout
+    rng = np.random.default_rng(1)
+    # w*c = 24 not a lane multiple -> XLA fallback, still exact
+    x = jnp.asarray(rng.normal(size=(1, 2, 4, 6, 4)).astype(np.float32))
+    got = relayout.space_to_depth(x, None, "interpret")
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(s2dops.space_to_depth(x)))
+
+    x = jnp.asarray(rng.normal(size=(1, 4, 32, 32, 4)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(
+        size=(1, 2, 16, 16, 32)).astype(np.float32))
+
+    def f_pl(x_):
+        return jnp.sum(relayout.space_to_depth(
+            x_, jnp.bfloat16, "interpret").astype(jnp.float32) * ct)
+
+    def f_xla(x_):
+        return jnp.sum(s2dops.space_to_depth(
+            x_.astype(jnp.bfloat16)).astype(jnp.float32) * ct)
+
+    g_pl = jax.grad(f_pl)(x)
+    g_xla = jax.grad(f_xla)(x)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla),
+                               rtol=0, atol=0)
