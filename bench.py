@@ -231,11 +231,17 @@ def main():
             except Exception as e:
                 last_err = e
                 msg = f"{type(e).__name__}: {str(e)[:120]}"
-                oom = ("RESOURCE_EXHAUSTED" in repr(e)
-                       or "ResourceExhausted" in repr(e))
-                if attempt == 0 and not oom:
+                # retry the SAME rung only on transient relay/RPC-looking
+                # errors; deterministic failures (OOM, lowering/compile
+                # errors) go straight to the next rung — a fresh-process
+                # recompile costs 300-1100 s over the relay
+                rep = repr(e)
+                transient = any(tok in rep for tok in (
+                    "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED",
+                    "Connection", "timed out", "Socket", "EOF"))
+                if attempt == 0 and transient:
                     print(f"bench: quant={quant} V={v} failed ({msg}); "
-                          "retrying this rung once (transient?)",
+                          "retrying this rung once (transient)",
                           file=sys.stderr, flush=True)
                     continue
                 print(f"bench: quant={quant} V={v} paired tiling failed "

@@ -219,9 +219,11 @@ class Predictor:
 
         The TTA analogue of :meth:`tiled_probs_batch` — amortizes the
         per-program dispatch overhead over V volumes and runs the forward
-        at the larger batch (docs/PERF.md "Paired tiling").  Numerics are
-        identical to V calls of tta_probs (same flips, same double-softmax
-        mean; the forward is batch-parallel).  Throughput-only knob:
+        at the larger batch (docs/PERF.md "Paired tiling").
+        Algorithmically identical to V calls of tta_probs (same flips,
+        same double-softmax mean; bit-exact on CPU by test) — but B=8V is
+        a different XLA executable, so on-chip bf16 results shift within
+        rounding, like any batch-width change.  Throughput-only knob:
         per-volume latency scales with V."""
         if x.shape[0] == 1:
             return self.tta_probs(x)

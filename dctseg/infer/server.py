@@ -92,20 +92,28 @@ class _Coalescer:
         self.v = int(server.bundle.manifest.get("batch_volumes", 1))
         self.max_wait_s = max_wait_s
         self.last_group_size = 0
+        self._stopped = False
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="dctseg-coalescer")
         self._thread.start()
 
     def submit(self, x: np.ndarray, output: str) -> np.ndarray:
+        if self._stopped or not self._thread.is_alive():
+            raise RuntimeError("coalescer is stopped")
         item = {"x": x, "output": output, "ev": threading.Event()}
         self._q.put(item)
-        item["ev"].wait()
+        # bounded wait: if the dispatcher dies (it re-raises after fanning
+        # the error out), waiters must not hang forever on a dead thread
+        while not item["ev"].wait(timeout=5.0):
+            if not self._thread.is_alive():
+                raise RuntimeError("coalescer dispatcher died")
         if "err" in item:
             raise item["err"]
         return item["out"]
 
     def stop(self) -> None:
+        self._stopped = True
         self._q.put(None)
 
     def _run(self) -> None:
@@ -114,11 +122,13 @@ class _Coalescer:
             if first is None:
                 return
             group = [first]
-            deadline = time.time() + self.max_wait_s
+            # monotonic: a wall-clock (NTP) step must not stretch or
+            # collapse the coalesce window
+            deadline = time.monotonic() + self.max_wait_s
             while len(group) < self.v:
                 try:
-                    nxt = self._q.get(timeout=max(0.0,
-                                                  deadline - time.time()))
+                    nxt = self._q.get(
+                        timeout=max(0.0, deadline - time.monotonic()))
                 except queue.Empty:
                     break
                 if nxt is None:          # shutdown raced a batch: finish it
@@ -130,12 +140,16 @@ class _Coalescer:
                 sub = [g for g in group if g["output"] == output]
                 if not sub:
                     continue
-                xs = np.concatenate([g["x"] for g in sub], axis=0)
-                if xs.shape[0] < self.v:   # pad the partial group
-                    xs = np.concatenate(
-                        [xs, np.zeros((self.v - xs.shape[0], *xs.shape[1:]),
-                                      xs.dtype)], axis=0)
+                # everything per-group inside the try: a MemoryError
+                # concatenating V ~147 MB volumes on this low-memory host
+                # must fan out to the waiters, not kill the dispatcher
                 try:
+                    xs = np.concatenate([g["x"] for g in sub], axis=0)
+                    if xs.shape[0] < self.v:   # pad the partial group
+                        xs = np.concatenate(
+                            [xs, np.zeros(
+                                (self.v - xs.shape[0], *xs.shape[1:]),
+                                xs.dtype)], axis=0)
                     with self.server._device_lock:
                         out = np.asarray(
                             self.server.bundle.labels(xs) if output ==

@@ -67,7 +67,9 @@ def validate_softmax(
     ``tta_probs_batch`` for 'tta') — amortizes per-program dispatch overhead
     for throughput-oriented runs like checkpoint sweeps, at the cost of V×
     per-volume latency and HBM (measured V=3 optimum in bf16 on a 16 GB
-    v5e, docs/PERF.md "Paired tiling"; numerics identical to per-volume).
+    v5e, docs/PERF.md "Paired tiling"; algorithmically identical to
+    per-volume — bit-exact on CPU, within bf16 rounding on chip since
+    B=8V is a different executable).
     Supported for every strategy."""
     if hd95_mode not in ("reference", "surface"):
         raise ValueError(f"hd95_mode must be 'reference' or 'surface', "

@@ -106,7 +106,7 @@ def _s2d_impl(x, out_dtype, impl):
     use_pallas = impl in ("pallas", "interpret") or (
         impl == "auto" and _HAS_TPU and _on_tpu())
     t = _pick_rows(h // 2, out_dtype) if use_pallas else 0
-    if t and (d % 2 or w % 2
+    if t and (d % 2 or h % 2 or w % 2
               or ((2 * t) % (16 if x.dtype in (jnp.bfloat16, jnp.float16)
                              else 8))):
         t = 0

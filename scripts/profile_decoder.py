@@ -36,8 +36,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=REP)
     ap.add_argument("--only", default="",
-                    help="comma list: sections,enc,initconv,norm,block,"
-                         "model,fold,deup2,flops")
+                    help="comma list: sections,enc,relayout,s2dforms,"
+                         "initconv,norm,model,fold,deup2,flops")
     args = ap.parse_args()
     only = set(t for t in args.only.split(",") if t)
 

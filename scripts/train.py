@@ -112,9 +112,13 @@ def parse_args(argv=None):
 def build_config(a):
     from dctseg.config import (Config, DataConfig, ModelConfig, TrainConfig)
     # Measured remat sweep (docs/PERF.md round 4): at B=1 128^3 bf16 the
-    # activations fit without remat and 'none' is 23% faster per step;
-    # fp32 doubles them and was never measured to fit, so it keeps 'full'.
-    remat_policy = a.remat_policy or ("none" if a.amp else "full")
+    # activations fit without remat and 'none' is 23% faster per step.
+    # The default keys on the MEASURED configuration only — fp32 doubles
+    # activations, and batch > 1 / img_dim > 128 scale them past what was
+    # ever measured to fit on the 16 GB chip, so those keep 'full'.
+    remat_policy = a.remat_policy or (
+        "none" if (a.amp and a.batch_size == 1 and a.img_dim <= 128)
+        else "full")
     model = ModelConfig(
         img_dim=a.img_dim, base_channels=a.base_channels, pe_type=a.pe_type,
         compute_dtype="bfloat16" if a.amp else "float32",

@@ -29,6 +29,7 @@ class _FakePredictor:
     (every call, or just the first call for transient-failure tests)."""
 
     calls = []
+    attempts = {}
     fail_quants = set()
     fail_once_quants = set()
 
@@ -38,11 +39,15 @@ class _FakePredictor:
         self.quant = getattr(model, "quant", None)
 
     def tiled_probs_batch(self, group):
+        type(self).attempts[self.quant] = \
+            type(self).attempts.get(self.quant, 0) + 1
         if self.quant in self.fail_quants:
             raise RuntimeError("forced rung failure (test)")
         if self.quant in type(self).fail_once_quants:
             type(self).fail_once_quants.discard(self.quant)
-            raise RuntimeError("forced transient failure (test)")
+            # message shaped like a relay stall: the ladder retries the
+            # same rung only for transient/RPC-looking errors
+            raise RuntimeError("UNAVAILABLE: forced relay stall (test)")
         v = group.shape[0]
         type(self).calls.append((self.quant, v))
         return jnp.zeros((v, 1, 1, 1, 1))
@@ -56,6 +61,7 @@ def bench_env(monkeypatch):
         return m
 
     _FakePredictor.calls = []
+    _FakePredictor.attempts = {}
     _FakePredictor.fail_quants = set()
     _FakePredictor.fail_once_quants = set()
     monkeypatch.setattr(bench, "_wait_for_accelerator", lambda: None)
@@ -113,6 +119,19 @@ def test_bench_retries_transient_failure_without_demoting(bench_env,
     rec = _run_bench(capsys)
     assert rec["quantize"] == "int8"
     assert rec["paired_volumes"] == 2
+
+
+def test_bench_deterministic_failure_demotes_without_retry(bench_env,
+                                                           capsys):
+    """A deterministic (non-transient-looking) failure must NOT recompile
+    the same rung — fresh-process TPU compiles cost 300-1100 s over the
+    relay — it steps down the ladder after one attempt."""
+    bench_env.fail_quants = {"int8"}   # persistent generic RuntimeError
+    rec = _run_bench(capsys)
+    assert rec["quantize"] == "bfloat16"
+    # exactly ONE attempt on the int8 rung (no retry), none succeeded
+    assert bench_env.attempts.get("int8") == 1
+    assert all(q != "int8" for q, _ in bench_env.calls)
 
 
 def test_bench_headline_bf16_v1_is_its_own_parity_rung(bench_env, capsys,
