@@ -167,7 +167,11 @@ def main():
             m = model if quant is None else build_model(
                 dataclasses.replace(cfg, quantize=quant))
             models[quant] = m
-            predictors[quant] = Predictor(m, params)
+            # fold_params: weights baked into the executable so XLA
+            # constant-folds the s2d weight transforms + int8 weight
+            # quantization once at compile (measured ~2.5 ms/fwd,
+            # docs/PERF.md; serving bundles do the same)
+            predictors[quant] = Predictor(m, params, fold_params=True)
         return predictors[quant]
 
     rng = np.random.default_rng(0)

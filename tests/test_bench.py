@@ -33,9 +33,10 @@ class _FakePredictor:
     fail_quants = set()
     fail_once_quants = set()
 
-    def __init__(self, model, params):
+    def __init__(self, model, params, fold_params=False):
         self.model = model
         self.params = params
+        self.fold_params = fold_params
         self.quant = getattr(model, "quant", None)
 
     def tiled_probs_batch(self, group):
