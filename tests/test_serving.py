@@ -448,3 +448,50 @@ def test_server_coalesces_concurrent_single_volume_requests():
         assert health["last_group_size"] >= 1
     finally:
         server.shutdown()
+
+
+def test_coalescer_device_failure_fans_out_and_server_survives():
+    """A failure while assembling or running a coalesced group (e.g.
+    MemoryError concatenating V volumes on a low-memory host) must fan
+    out to the waiting clients as HTTP 500 — not kill the dispatcher
+    thread and strand every later request in an unbounded wait."""
+    import threading
+    import urllib.error
+    import urllib.request
+    from dctseg.infer.server import BundleServer
+
+    class _ExplodingBundle(_FakePairedBundle):
+        def __init__(self):
+            super().__init__(v=2)
+            self.fail_next = True
+
+        def labels(self, x):
+            if self.fail_next:
+                self.fail_next = False
+                raise MemoryError("forced group failure (test)")
+            return super().labels(x)
+
+        predict = labels
+
+    fake = _ExplodingBundle()
+    server = BundleServer(fake, port=0, warmup=False, coalesce_wait_s=0.1)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        vol = np.zeros((1, 4, 4, 4, 2), np.float32)
+        req = urllib.request.Request(base + "/v1/predict",
+                                     data=_npy_bytes(vol), method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP 500 from the failed group")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+        # the dispatcher survived: the next request succeeds normally
+        req = urllib.request.Request(base + "/v1/predict",
+                                     data=_npy_bytes(vol), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            import io
+            out = np.load(io.BytesIO(r.read()))
+        assert out.shape == (1, 2, 2, 2)
+    finally:
+        server.shutdown()
