@@ -228,8 +228,12 @@ def run_dctseg(sd, crops, fulls, strategies):
         metrics.softmax_output_miou = miou
         metrics.cal_hausdorff = haus
         try:
+            # device_metrics=False: the Recorders instrument the HOST
+            # metric functions (the reference-semantics path this harness
+            # compares); the device twin is separately proven bit-exact
+            # against the host path by tests/test_metrics.py
             res = validate_softmax([Batch([s]) for s in samples], predictor,
-                                   strategy=strat)
+                                   strategy=strat, device_metrics=False)
         finally:
             (metrics.softmax_output_dice, metrics.softmax_output_miou,
              metrics.cal_hausdorff) = metrics_backup
