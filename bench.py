@@ -23,6 +23,10 @@ Besides the throughput headline the artifact self-reports:
     hardware-utilization number; docs/PERF.md separates it from
     model-logical FLOPs (the s2d strategy deliberately executes 8x the
     logical conv arithmetic because it is faster, docs/PERF.md).
+  * ``wall_budget`` — the per-volume wall clock decomposed into
+    {forward, crops, stitch, dispatch_residue} ms (VERDICT r4 item 3).
+  * ``train_ms_step`` / ``train_mfu`` — B=1 128^3 bf16 train-step time
+    and executed-HLO MFU (VERDICT r4 item 4; skip: DCTSEG_BENCH_TRAIN=0).
 
 Prints ONE JSON line:
   {"metric": "sliding_window_inference", "value": <volumes/sec>,
@@ -43,16 +47,54 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 VOL_SHAPE = (240, 240, 160)
 CROP = 128
 N_VOLS = 4
-# Rungs ordered by measured throughput: int8 V=2 (5.80-6.01), bf16 V=3
-# (5.04), int8 V=1 (4.83-4.87), bf16 V=2 (4.78), bf16 V=1 (4.12).
+# Rungs ordered by measured throughput (r4 re-measurement with folded
+# params + layout reorders): int8 V=2 (6.35-6.43), bf16 V=3 (~5.6), int8
+# V=1 (~5.2), bf16 V=2 (~5.2), bf16 V=1 (4.7).  The int8 spec may carry
+# op-class extensions (e.g. "int8+pw") when the r5 residue measurement
+# adopts them (docs/PERF.md "int8 residue").
 LADDER = [("int8", 2), (None, 3), ("int8", 1), (None, 2), (None, 1)]
 PEAK_TFLOPS_BF16 = 197.0
 PEAK_TOPS_INT8 = 394.0
-# Logical model FLOPs of one B=8 eval forward at the FINE-grid conv shapes
-# (what the model mathematically computes; the s2d execution strategy
-# deliberately executes ~5.5x more because dense MXU feeding is faster —
-# docs/PERF.md r4).  From scripts/profile_decoder.py --only flops.
-LOGICAL_FLOPS_B8 = 4.232e12
+
+
+def logical_flops(batch: int) -> float:
+    """Analytic model-logical conv FLOPs of one eval forward at ``batch``
+    (the FINE-grid conv algebra — what the model mathematically computes,
+    independent of the s2d execution strategy's deliberate ~5.5x dense
+    re-expression, docs/PERF.md).  Derived at runtime rather than carried
+    as a constant so the artifact can't silently go stale if the model
+    geometry changes (VERDICT r4 item 7); cross-checked against
+    scripts/profile_decoder.py --only flops (4.232 T at B=8)."""
+    def conv(sp, k, ci, co):
+        return 2 * (k ** 3) * ci * co * (sp ** 3) * batch
+
+    def deconv(sp_out, c):   # k=2 s=2 transpose conv to sp_out^3
+        return 2 * (2 ** 3) * c * c * (sp_out ** 3) * batch
+
+    fl = 0
+    # encoder: init + en1 x4 + down1 + en2 x4 + down2 + en3 x4 + down3
+    #          + en4 x4 + widen
+    fl += conv(128, 3, 4, 16) + 4 * conv(128, 3, 16, 16) \
+        + conv(64, 3, 16, 32) + 4 * conv(64, 3, 32, 32) \
+        + conv(32, 3, 32, 64) + 4 * conv(32, 3, 64, 64) \
+        + conv(16, 3, 64, 128) + 4 * conv(16, 3, 128, 128) \
+        + conv(16, 3, 128, 256)
+    # decouple convs: conv_64_to_32 + 3 edge (96->32 @32^3) + 3 sem
+    # (256->128 @16^3); sum_fusion 3^3 128->256 @16^3
+    fl += conv(32, 3, 32, 32) + 3 * conv(32, 3, 96, 32) \
+        + 3 * conv(16, 3, 256, 128)
+    fl += conv(16, 3, 128, 256)
+    # decoder: down_channel 1x1 + enblock8 x4 + 3 x [deup(1x1 + deconv +
+    # 1x1 on concat) + deblock x4] + endconv 1x1
+    fl += conv(16, 1, 256, 128) + 4 * conv(16, 3, 128, 128)
+    fl += conv(16, 1, 128, 64) + deconv(32, 64) \
+        + conv(32, 1, 128, 64) + 4 * conv(32, 3, 64, 64)
+    fl += conv(32, 1, 64, 32) + deconv(64, 32) \
+        + conv(64, 1, 64, 32) + 4 * conv(64, 3, 32, 32)
+    fl += conv(64, 1, 32, 16) + deconv(128, 16) \
+        + conv(128, 1, 32, 16) + 4 * conv(128, 3, 16, 16)
+    fl += conv(128, 1, 16, 4)
+    return float(fl)
 
 
 def _wait_for_accelerator(max_attempts=36, probe_timeout=240):
@@ -84,7 +126,7 @@ def _wait_for_accelerator(max_attempts=36, probe_timeout=240):
         time.sleep(60)
 
 
-def measure_device_forward(model, params, shape, rep=6):
+def measure_device_forward(model, params, shape, rep=6, fold_params=False):
     """Per-forward device seconds + HLO flops for ``model.apply`` at
     ``shape``.
 
@@ -97,7 +139,14 @@ def measure_device_forward(model, params, shape, rep=6):
     separate single-forward compile: cost analysis of the scan program
     counts the body once (or twice when XLA peels an iteration), so
     dividing by rep under-reports — measured 3.9 T "per rep" vs 23.4 T
-    for the true single B=8 forward (docs/PERF.md r4)."""
+    for the true single B=8 forward (docs/PERF.md r4).
+
+    ``fold_params`` closes the parameters over the chain as compile-time
+    constants — the SAME program class as the headline rung's
+    ``Predictor(fold_params=True)`` executables, so the artifact's
+    device-time/MFU fields describe the program that actually produced
+    the headline throughput (ADVICE r4: the two-arg probe is ~2.5 ms/fwd
+    slower)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -117,10 +166,6 @@ def measure_device_forward(model, params, shape, rep=6):
     except Exception:  # noqa: BLE001 - cost analysis may be unavailable
         flops = -1.0
 
-    # params travel as runtime arguments (like the Predictor's two-arg
-    # forward) so the chain measures the shipped program, not a
-    # constant-folded variant (Predictor(fold_params=True) is a separate,
-    # measured option — docs/PERF.md)
     def chain(p, x0):
         def fwd(c):
             return model.apply(p, c, train=False)[0].astype(c.dtype)
@@ -128,17 +173,187 @@ def measure_device_forward(model, params, shape, rep=6):
                             length=rep)
         return y
 
-    compiled = jax.jit(chain).lower(params, x).compile()
+    if fold_params:
+        compiled = jax.jit(lambda x0: chain(params, x0)).lower(x).compile()
+        args = (x,)
+    else:
+        compiled = jax.jit(chain).lower(params, x).compile()
+        args = (params, x)
 
     def run_once():
         t0 = time.perf_counter()
-        y = compiled(params, x)
+        y = compiled(*args)
         float(y[(0,) * y.ndim].astype(jnp.float32))  # force full execution
         return (time.perf_counter() - t0) / rep
 
     run_once()                        # warm (compile already done; relay)
     dt = min(run_once() for _ in range(2))
     return {"device_s_forward": dt, "flops_forward": flops}
+
+
+def _chain_time(fn, x, rep=6, rounds=3):
+    """Device seconds per call of ``fn(x)`` via a data-dependent scan
+    chain (shape-changing fns chain through a zero-scaled output scalar
+    folded back into the carry — docs/PERF.md "Measurement pitfalls")."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(x0):
+        def body(c, _):
+            y = fn(c)
+            eps = (y.ravel()[0].astype(jnp.float32) * 0).astype(c.dtype)
+            return c + eps, None
+        c, _ = jax.lax.scan(body, x0, None, length=rep)
+        return c
+
+    compiled = jax.jit(chain).lower(x).compile()
+
+    def once():
+        t0 = time.perf_counter()
+        y = compiled(x)
+        float(y.ravel()[0].astype(jnp.float32))
+        return (time.perf_counter() - t0) / rep
+
+    once()
+    return min(once() for _ in range(rounds))
+
+
+def measure_wall_budget(predictor, group, wall_ms_per_vol,
+                        fwd_ms_per_vol, rep=6):
+    """Decompose the headline's per-volume wall time (VERDICT r4 item 3).
+
+    The pipeline is crops -> B=8V forward -> stitch (staged programs,
+    dctseg/infer/engine.py); the forward is accounted separately, so this
+    times the crops and stitch programs the same chain way and reports
+      wall_budget = {forward, crops, stitch, argmax, dispatch_residue}
+    in ms/volume.  ``argmax`` is informational — the throughput headline
+    fetches probabilities and never argmaxes (the serving labels path
+    does), so it is NOT part of the residue arithmetic.  The residue is
+    what remains of the wall clock after the on-device programs: host
+    dispatch + the axon relay's per-program overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    v = int(group.shape[0])
+    crops_fn = (predictor._crops_batch_fn if v > 1
+                else predictor._crops_fn)
+    crops_ms = _chain_time(crops_fn, group, rep) * 1e3 / v
+
+    # stitch input: the forward's probs at (8V, 128^3, C) f32 — generated
+    # on device (H2D over this relay runs ~25 MB/s; 537 MB would dominate)
+    c = 4
+    t = jax.jit(lambda k: jax.random.normal(
+        k, (8 * v, CROP, CROP, CROP, c), jnp.float32))(
+            jax.random.PRNGKey(0))
+    stitch_ms = _chain_time(
+        lambda tt: (predictor._stitch_batch_fn(tt, True) if v > 1
+                    else predictor._stitch_fn(tt, True)), t, rep) * 1e3 / v
+
+    # argmax (labels) program at the stitched shape — informational
+    d_out = min(VOL_SHAPE[2], 155)
+    probs = jax.jit(lambda k: jax.random.normal(
+        k, (v, VOL_SHAPE[0], VOL_SHAPE[1], d_out, c), jnp.float32))(
+            jax.random.PRNGKey(1))
+    argmax_ms = _chain_time(
+        lambda p: jnp.argmax(p, axis=-1).astype(jnp.uint8),
+        probs, rep) * 1e3 / v
+
+    residue = wall_ms_per_vol - fwd_ms_per_vol - crops_ms - stitch_ms
+    return {
+        "forward": round(fwd_ms_per_vol, 2),
+        "crops": round(crops_ms, 2),
+        "stitch": round(stitch_ms, 2),
+        "argmax_info": round(argmax_ms, 2),
+        "dispatch_residue": round(residue, 2),
+        "note": "ms/volume; argmax_info is NOT in the headline pipeline "
+                "(probs are fetched, not argmaxed) and excluded from the "
+                "residue; residue = wall - forward - crops - stitch "
+                "(host dispatch + relay per-program overhead)",
+    }
+
+
+def measure_train_efficiency(rep=4):
+    """Train-step efficiency fields for the artifact (VERDICT r4 item 4).
+
+    B=1 128^3 bf16, remat 'none' — the measured production configuration
+    (scripts/train.py defaults under --amp; docs/PERF.md remat sweep).
+    FLOPs from a single-step compile's cost analysis (scan chains count
+    the body once); time from a data-dependent chain of ``rep`` full
+    train steps (grad + Adam + metrics) through the evolving state.
+    Costs two full train-step compiles (~minutes over the relay) — keep
+    it best-effort and last.  Reference hot loop: train.py:182-240."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dctseg.config import ModelConfig, TrainConfig
+    from dctseg.losses import CRITERIA
+    from dctseg.models.clswiseformer import build_model
+    from dctseg.train.optim import make_optimizer
+    from dctseg.train.trainer import TrainState, make_train_step
+
+    d = CROP
+    mcfg = ModelConfig(compute_dtype="bfloat16", remat=False,
+                       img_dim=d,
+                       **({} if d == 128
+                          else {"top_num": min(128, (d // 16) ** 3)}))
+    model = build_model(mcfg)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, d, d, d, 4), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, x0, train=False))(key)
+    tx = make_optimizer(TrainConfig(), steps_per_epoch=250)
+    opt_state = jax.jit(tx.init)(params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, d, d, d, 4))
+                    .astype(np.float32)).astype(jnp.bfloat16)
+    tgt = jnp.asarray(rng.integers(0, 4, (1, d, d, d)).astype(np.int32))
+    edg = jnp.asarray(rng.integers(0, 9, (1, d, d, d)).astype(np.int32))
+    step = make_train_step(model, tx, CRITERIA["softmax_dice"])
+    state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    keys = jax.random.split(jax.random.PRNGKey(1), rep)
+
+    flops = -1.0
+    try:
+        single = jax.jit(
+            lambda s, k: step(s, x, tgt, edg, k)[0].params
+        ).lower(state, keys[0]).compile()
+        cost = single.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", -1.0))
+        del single
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        pass
+
+    def chain(s):
+        def body(st, k):
+            s2, _ = step(st, x, tgt, edg, k)
+            return s2, None
+        s2, _ = jax.lax.scan(body, s, keys)
+        return s2.params
+
+    compiled = jax.jit(chain).lower(state).compile()
+
+    def once():
+        t0 = time.perf_counter()
+        out = compiled(state)
+        leaf = jax.tree.leaves(out)[0]
+        float(leaf.ravel()[0].astype(jnp.float32))
+        return (time.perf_counter() - t0) / rep
+
+    once()
+    dt = min(once() for _ in range(2))
+    fields = {"train_ms_step": round(dt * 1e3, 1)}
+    if flops > 0:
+        ach = flops / dt / 1e12
+        fields.update({
+            "train_hlo_flops_step": flops,
+            "train_tflops_device": round(ach, 1),
+            "train_mfu": round(ach / PEAK_TFLOPS_BF16, 3),
+            "train_note": "B=1 128^3 bf16, remat none (the measured "
+                          "--amp default); executed-HLO flops vs bf16 "
+                          "peak",
+        })
+    return fields
 
 
 def main():
@@ -286,17 +501,24 @@ def main():
                   file=sys.stderr, flush=True)
 
     # Absolute-efficiency accounting for the headline rung's forward.
+    # fold_params=True: the probe measures the same program class as the
+    # headline rung's Predictor(fold_params=True) executables (ADVICE r4:
+    # the two-arg probe described a ~2.5 ms/fwd slower program).
     extras = {}
     try:
         dev = measure_device_forward(models.get(quant, model), params,
-                                     (8 * v, CROP, CROP, CROP, 4))
+                                     (8 * v, CROP, CROP, CROP, 4),
+                                     fold_params=True)
         dt, flops = dev["device_s_forward"], dev["flops_forward"]
         extras["device_ms_forward"] = round(dt * 1e3, 1)
         extras["device_ms_per_volume"] = round(dt * 1e3 / v, 1)
+        extras["device_probe"] = ("folded-params chain (the headline "
+                                  "rung's program class)")
         if flops > 0:
             ach = flops / dt / 1e12
-            logical = LOGICAL_FLOPS_B8 * v
-            peak = PEAK_TOPS_INT8 if quant == "int8" else PEAK_TFLOPS_BF16
+            logical = logical_flops(8 * v)
+            peak = (PEAK_TOPS_INT8 if (quant or "").startswith("int8")
+                    else PEAK_TFLOPS_BF16)
             extras.update({
                 "hlo_flops_forward": flops,
                 "achieved_tflops_device": round(ach, 1),
@@ -314,6 +536,30 @@ def main():
     except Exception as e:  # noqa: BLE001 - efficiency probe is best-effort
         print(f"bench: device-time probe skipped ({type(e).__name__}: "
               f"{str(e)[:120]})", file=sys.stderr, flush=True)
+
+    # Per-volume wall-budget decomposition (VERDICT r4 item 3): account
+    # the gap between the wall headline and the device forward.
+    try:
+        if "device_ms_per_volume" in extras:
+            group = (jnp.concatenate(vols[:v], axis=0) if v > 1
+                     else vols[0])
+            extras["wall_budget"] = measure_wall_budget(
+                predictor, group, 1e3 / vps,
+                extras["device_ms_per_volume"])
+    except Exception as e:  # noqa: BLE001 - budget probe is best-effort
+        print(f"bench: wall-budget probe skipped ({type(e).__name__}: "
+              f"{str(e)[:120]})", file=sys.stderr, flush=True)
+
+    # Train-step efficiency (VERDICT r4 item 4) — last: it costs two
+    # full train-step compiles over the relay.  DCTSEG_BENCH_TRAIN=0
+    # skips it when only the inference headline is wanted.
+    if os.environ.get("DCTSEG_BENCH_TRAIN", "1") != "0":
+        try:
+            extras.update(measure_train_efficiency())
+        except Exception as e:  # noqa: BLE001 - best-effort
+            print(f"bench: train-efficiency probe skipped "
+                  f"({type(e).__name__}: {str(e)[:120]})",
+                  file=sys.stderr, flush=True)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")

@@ -113,9 +113,13 @@ class ModelConfig:
     # "int8": dynamic post-training quantization of the MXU-bound 3^3 convs
     # (dense-s2d stages + >=64-input-channel direct stages) — s8 x s8 -> s32
     # on the v5e int8 MXU path (2x the bf16 peak), dequantized per call.
-    # Inference-only (round() has zero gradient; the Trainer rejects it);
-    # checkpoints stay f32 and identical (pure execution strategy).  Opt-in:
-    # changes eval numerics, so parity modes keep "none".  dctseg/ops/quant.py.
+    # Extra op classes opt in with "+pw" (pointwise 1x1 convs, incl. the
+    # block-diagonal s2d DeUpCat convs), "+deconv" (S2DDeconv upsample),
+    # "+down" (stride-2 s2d downs), or "int8_all" (everything) — chosen by
+    # chip measurement (docs/PERF.md r5 "int8 residue").  Inference-only
+    # (round() has zero gradient; the Trainer rejects it); checkpoints
+    # stay f32 and identical (pure execution strategy).  Opt-in: changes
+    # eval numerics, so parity modes keep "none".  dctseg/ops/quant.py.
     quantize: str = "none"
 
     @property

@@ -135,6 +135,9 @@ class Predictor:
         if self.fold_params:
             self._fwd_cache.clear()
             self._fwd = self._make_fwd(shard_batch_axis=False)
+            # fused-dispatch executables also close over the old params
+            for cached in ("_flips_fwd_fn", "_crops_fwd_fn"):
+                self.__dict__.pop(cached, None)
 
     def seg_probs(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, D, H, W, M) -> (B, D, H, W, C) decoder softmax probs."""
@@ -170,12 +173,18 @@ class Predictor:
     def _flips_fwd_fn(self) -> Callable:
         """Flip construction + B=8 forward as ONE program (see
         _crops_fwd_fn: the full monolith incl. unflip+mean crashes the TPU
-        compiler, but fusing the free `lax.rev` stage saves a dispatch)."""
+        compiler, but fusing the free `lax.rev` stage saves a dispatch).
+        Honors ``fold_params`` like _make_fwd (ADVICE r4: the combination
+        used to silently lose the constant-folding benefit)."""
         def flips_fwd(p, x):
             # the jitted stage fn inlines when traced inside this jit, so
             # the flip construction has exactly one definition
             return self.model.apply(p, self._flip_batch_fn(x),
                                     train=False)[0]
+        if self.fold_params:
+            params = self.params
+            fwd = jax.jit(lambda x: flips_fwd(params, x))
+            return lambda p, x: fwd(x)
         return jax.jit(flips_fwd)
 
     def tta_probs(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -267,6 +276,10 @@ class Predictor:
             # reuses _crops_fn (inlined under this jit): one definition of
             # the safety-critical crop windows serves both paths
             return self.model.apply(p, self._crops_fn(x), train=False)[0]
+        if self.fold_params:   # see _flips_fwd_fn (ADVICE r4)
+            params = self.params
+            fwd = jax.jit(lambda x: crops_fwd(params, x))
+            return lambda p, x: fwd(x)
         return jax.jit(crops_fwd)
 
     @staticmethod

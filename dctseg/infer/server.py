@@ -33,7 +33,12 @@ additionally coalesces: single-volume requests from concurrent clients
 are gathered for up to ``coalesce_wait_s`` and run as ONE padded B=8V
 forward — the measured-optimal batch (docs/PERF.md "Paired tiling") —
 instead of V serialized programs behind the device lock.  A request that
-already carries the full V volumes keeps the direct path.
+already carries the full V volumes keeps the direct path.  Coalesced
+groups are depth-2 pipelined (dispatcher/fetcher threads: group i+1's
+device programs enqueue while group i's outputs are still in flight),
+and a mixed labels/probs group dispatches both programs back-to-back —
+sustained multi-client throughput matches the eval loop's pipelined
+dispatch pattern instead of serializing on each fetch.
 """
 
 from __future__ import annotations
@@ -82,10 +87,21 @@ class _Coalescer:
     Handler threads ``submit()`` a (1, ...) volume and block; a dispatcher
     thread drains the queue — waiting up to ``max_wait_s`` after the first
     arrival for the group to fill to the bundle's V — pads partial groups
-    with zeros, runs ONE B=8V program per output mode under the server's
-    device lock, and fans the per-volume slices back out.  The pad rows'
-    compute is wasted only when traffic is below V concurrent requests,
-    exactly when latency, not throughput, matters."""
+    with zeros, enqueues ONE B=8V device program per output mode under the
+    server's device lock, and a separate fetcher thread pulls the results
+    and fans the per-volume slices back out.  The pad rows' compute is
+    wasted only when traffic is below V concurrent requests, exactly when
+    latency, not throughput, matters.
+
+    Pipelining (VERDICT r4 item 5): jax dispatch is asynchronous, so the
+    dispatcher/fetcher split gives depth-2 cross-group pipelining — the
+    dispatcher enqueues group i+1's device programs while group i's
+    outputs are still being fetched (the measured win of the eval loop's
+    pipelined dispatch, dctseg/infer/validate.py / docs/PERF.md), and a
+    mixed labels/probs group enqueues BOTH programs back-to-back instead
+    of serializing two dispatch+fetch round trips.  ``_fetch_q`` has
+    maxsize 1, bounding the in-flight window at one group dispatching +
+    one group fetching (depth 2 is the measured plateau)."""
 
     def __init__(self, server: "BundleServer", max_wait_s: float = 0.05):
         self.server = server
@@ -93,74 +109,128 @@ class _Coalescer:
         self.max_wait_s = max_wait_s
         self.last_group_size = 0
         self._stopped = False
+        # guards the (stopped-check, enqueue) pair in submit() against
+        # stop(): queue order then guarantees every real item precedes the
+        # shutdown sentinel, so the dispatcher's drain can never strand a
+        # submitter that raced stop() (ADVICE r4)
+        self._submit_lock = threading.Lock()
         self._q: "queue.Queue" = queue.Queue()
+        self._fetch_q: "queue.Queue" = queue.Queue(maxsize=1)
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="dctseg-coalescer")
+        self._fetcher = threading.Thread(target=self._fetch_loop,
+                                         daemon=True,
+                                         name="dctseg-coalescer-fetch")
         self._thread.start()
+        self._fetcher.start()
 
     def submit(self, x: np.ndarray, output: str) -> np.ndarray:
-        if self._stopped or not self._thread.is_alive():
-            raise RuntimeError("coalescer is stopped")
         item = {"x": x, "output": output, "ev": threading.Event()}
-        self._q.put(item)
-        # bounded wait: if the dispatcher dies (it re-raises after fanning
-        # the error out), waiters must not hang forever on a dead thread
+        with self._submit_lock:
+            if self._stopped or not self._thread.is_alive():
+                raise RuntimeError("coalescer is stopped")
+            self._q.put(item)
+        # bounded wait: if a coalescer thread dies unexpectedly, waiters
+        # must not hang forever on a dead pipeline
         while not item["ev"].wait(timeout=5.0):
-            if not self._thread.is_alive():
+            if not (self._thread.is_alive() and self._fetcher.is_alive()):
                 raise RuntimeError("coalescer dispatcher died")
         if "err" in item:
             raise item["err"]
         return item["out"]
 
     def stop(self) -> None:
-        self._stopped = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._stopped = True
+            self._q.put(None)
+
+    @staticmethod
+    def _fail(items, err) -> None:
+        for g in items:
+            if not g["ev"].is_set():
+                g["err"] = err
+                g["ev"].set()
 
     def _run(self) -> None:
-        while True:
-            first = self._q.get()
-            if first is None:
-                return
-            group = [first]
-            # monotonic: a wall-clock (NTP) step must not stretch or
-            # collapse the coalesce window
-            deadline = time.monotonic() + self.max_wait_s
-            while len(group) < self.v:
+        try:
+            while True:
+                first = self._q.get()
+                if first is None:
+                    return
+                group = [first]
+                # monotonic: a wall-clock (NTP) step must not stretch or
+                # collapse the coalesce window
+                deadline = time.monotonic() + self.max_wait_s
+                while len(group) < self.v:
+                    try:
+                        nxt = self._q.get(
+                            timeout=max(0.0, deadline - time.monotonic()))
+                    except queue.Empty:
+                        break
+                    if nxt is None:      # shutdown raced a batch: finish it
+                        self._q.put(None)
+                        break
+                    group.append(nxt)
+                self.last_group_size = len(group)
+                self._dispatch_group(group)
+        finally:
+            # shut the fetcher down AFTER its pending work, then fail any
+            # items stranded behind the sentinel instead of leaving their
+            # clients to the 5 s liveness poll (ADVICE r4; the submit lock
+            # guarantees no item can be enqueued after this drain)
+            self._fetch_q.put(None)
+            err = RuntimeError("coalescer is stopped")
+            while True:
                 try:
-                    nxt = self._q.get(
-                        timeout=max(0.0, deadline - time.monotonic()))
+                    item = self._q.get_nowait()
                 except queue.Empty:
                     break
-                if nxt is None:          # shutdown raced a batch: finish it
-                    self._q.put(None)
-                    break
-                group.append(nxt)
-            self.last_group_size = len(group)
-            for output in ("labels", "probs"):
-                sub = [g for g in group if g["output"] == output]
-                if not sub:
-                    continue
-                # everything per-group inside the try: a MemoryError
-                # concatenating V ~147 MB volumes on this low-memory host
-                # must fan out to the waiters, not kill the dispatcher
-                try:
-                    xs = np.concatenate([g["x"] for g in sub], axis=0)
-                    if xs.shape[0] < self.v:   # pad the partial group
-                        xs = np.concatenate(
-                            [xs, np.zeros(
-                                (self.v - xs.shape[0], *xs.shape[1:]),
-                                xs.dtype)], axis=0)
-                    with self.server._device_lock:
-                        out = np.asarray(
-                            self.server.bundle.labels(xs) if output ==
-                            "labels" else self.server.bundle.predict(xs))
-                    for j, g in enumerate(sub):
-                        g["out"] = out[j:j + 1]
-                except Exception as e:  # noqa: BLE001 - fan out to waiters
-                    for g in sub:
-                        g["err"] = e
+                if item is not None:
+                    self._fail([item], err)
+
+    def _dispatch_group(self, group) -> None:
+        """Enqueue the group's device program(s); hand results to the
+        fetcher.  A mixed group dispatches labels AND probs back-to-back
+        (two async device enqueues) before either output is fetched."""
+        pending = []
+        for output in ("labels", "probs"):
+            sub = [g for g in group if g["output"] == output]
+            if not sub:
+                continue
+            # everything per-group inside the try: a MemoryError
+            # concatenating V ~147 MB volumes on this low-memory host
+            # must fan out to the waiters, not kill the dispatcher
+            try:
+                xs = np.concatenate([g["x"] for g in sub], axis=0)
+                if xs.shape[0] < self.v:   # pad the partial group
+                    xs = np.concatenate(
+                        [xs, np.zeros(
+                            (self.v - xs.shape[0], *xs.shape[1:]),
+                            xs.dtype)], axis=0)
+                with self.server._device_lock:
+                    ys = (self.server.bundle.labels(xs) if output ==
+                          "labels" else self.server.bundle.predict(xs))
+                pending.append((sub, ys))
+            except Exception as e:  # noqa: BLE001 - fan out to waiters
+                self._fail(sub, e)
+        for sub, ys in pending:
+            self._fetch_q.put((sub, ys))   # blocks at the depth-2 window
+
+    def _fetch_loop(self) -> None:
+        while True:
+            got = self._fetch_q.get()
+            if got is None:
+                return
+            sub, ys = got
+            try:
+                out = np.asarray(ys)       # blocks until the device is done
+                for j, g in enumerate(sub):
+                    g["out"] = out[j:j + 1]
+            except Exception as e:  # noqa: BLE001 - fan out to waiters
                 for g in sub:
-                    g["ev"].set()
+                    g["err"] = e
+            for g in sub:
+                g["ev"].set()
 
 
 class BundleServer:

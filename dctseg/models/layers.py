@@ -44,12 +44,13 @@ class ConvParams(nn.Module):
 class Conv3d(nn.Module):
     """3D convolution on NDHWC with torch-style explicit padding.
 
-    ``quantize="int8"`` routes MXU-bound instances (3^3 kernel with >=64
-    input channels — the quarter-res/bottleneck stages, where bf16 already
-    reaches ~18 TF/s and only the int8 MXU path is faster) through the
-    dynamic-PTQ conv (dctseg/ops/quant.py); thinner convs stay float, as
-    their cost is lane padding, not MXU rate.  Param tree is identical
-    either way (checkpoint-compatible execution strategy)."""
+    ``quantize`` (a spec, dctseg/ops/quant.py): the conv3 class routes
+    MXU-bound instances (3^3 kernel with >=64 input channels — the
+    quarter-res/bottleneck stages, where bf16 already reaches ~18 TF/s and
+    only the int8 MXU path is faster) through the dynamic-PTQ conv; the pw
+    class likewise for >=64ch pointwise (1x1) convs.  Thinner convs stay
+    float, as their cost is lane padding, not MXU rate.  Param tree is
+    identical either way (checkpoint-compatible execution strategy)."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -60,10 +61,14 @@ class Conv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from dctseg.ops.quant import enabled
         k = self.kernel_size
         p = self.padding
-        if (self.quantize == "int8" and k == 3 and x.shape[-1] >= 64
-                and self.use_bias):
+        quant = (self.quantize != "none" and x.shape[-1] >= 64
+                 and self.use_bias
+                 and ((k == 3 and enabled(self.quantize, "conv3"))
+                      or (k == 1 and enabled(self.quantize, "pw"))))
+        if quant:
             from dctseg.ops.quant import conv3d_int8
             kernel, bias = ConvParams(self.features, x.shape[-1], k,
                                       name="Conv_0")()

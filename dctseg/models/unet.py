@@ -53,13 +53,17 @@ def _remat_wrap(block_cls, remat: bool, policy: str = "full", **fixed):
     norm/activation elementwise work is (measured on chip, docs/PERF.md
     "Train step").  ``fixed`` kwargs are partially applied to the block
     constructor (e.g. fused_norms)."""
+    if policy not in ("full", "save_convs"):
+        # a real error, not an assert: under `python -O` a typo'd policy
+        # would otherwise silently fall back to full remat (ADVICE r4)
+        raise ValueError(f"unknown remat_policy {policy!r}; "
+                         "expected 'full' or 'save_convs'")
     if not remat:
         cls = block_cls
     elif policy == "save_convs":
         cls = nn.remat(block_cls, policy=jax.checkpoint_policies
                        .save_only_these_names("conv_out"))
     else:
-        assert policy == "full", f"unknown remat_policy {policy!r}"
         cls = nn.remat(block_cls)
     return functools.partial(cls, **fixed) if fixed else cls
 
@@ -95,12 +99,15 @@ class S2DConv3d(nn.Module):
     groups: tuple = ()
     dtype: jnp.dtype = jnp.float32
     conv3: str = "dense"
-    quantize: str = "none"   # "int8": the 3^3 stride-1 conv (the MXU-bound
-    # one: contraction 27*8Ci) runs dynamic-PTQ int8 (dctseg/ops/quant.py);
-    # stride-2/pointwise instances stay float (bandwidth-bound)
+    quantize: str = "none"   # ModelConfig spec (dctseg/ops/quant.py): the
+    # conv3 class covers the 3^3 stride-1 conv (the MXU-bound one:
+    # contraction 27*8Ci); the pw/down classes opt the pointwise and
+    # stride-2 instances in (off under plain "int8" — chip-measured,
+    # docs/PERF.md r5 "int8 residue")
 
     @nn.compact
     def __call__(self, x8):
+        from dctseg.ops.quant import enabled
         cin = (sum(self.groups) if self.groups
                else x8.shape[-1] // s2dops.B3)
         kernel, bias = _ConvParams(self.features, cin, self.kernel_size,
@@ -109,10 +116,13 @@ class S2DConv3d(nn.Module):
         b = bias.astype(self.dtype)
         if self.kernel_size == 1:
             w8 = s2dops.pointwise_kernel(w, self.groups or (cin,))
-            y = s2dops.conv3d_s2d(x8, w8, padding=(0, 0))
+            q = "int8" if enabled(self.quantize, "pw") else "none"
+            y = s2dops.conv3d_s2d(x8, w8, padding=(0, 0), quantize=q)
             y = y + s2dops.tile_bias(b)
         elif self.stride == 2:
-            y = s2dops.conv3d_s2d(x8, s2dops.down_kernel(w), padding=(1, 0))
+            q = "int8" if enabled(self.quantize, "down") else "none"
+            y = s2dops.conv3d_s2d(x8, s2dops.down_kernel(w), padding=(1, 0),
+                                  quantize=q)
             y = y + b
         else:
             y = s2dops.conv3x3_s2d(x8, w, self.conv3, self.quantize)
@@ -123,17 +133,22 @@ class S2DConv3d(nn.Module):
 
 class S2DDeconv(nn.Module):
     """ConvTranspose3d(k=2, s=2) emitting the s2d view directly: the
-    upsample becomes a full-lane 1x1 conv at coarse resolution."""
+    upsample becomes a full-lane 1x1 conv at coarse resolution.
+
+    ``quantize``: the deconv op class (dctseg/ops/quant.py) runs it int8."""
     features: int
     dtype: jnp.dtype = jnp.float32
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        from dctseg.ops.quant import enabled
         cin = x.shape[-1]
         kernel, bias = _ConvParams(self.features, cin, 2,
                                    name="ConvTranspose_0")()
         w8 = s2dops.deconv_kernel(kernel.astype(self.dtype))
-        y = s2dops.conv3d_s2d(x, w8, padding=(0, 0))
+        q = "int8" if enabled(self.quantize, "deconv") else "none"
+        y = s2dops.conv3d_s2d(x, w8, padding=(0, 0), quantize=q)
         return y + s2dops.tile_bias(bias.astype(self.dtype))
 
 
@@ -276,7 +291,7 @@ class UnetEncoder(nn.Module):
             if self.tap == "en1":
                 return x1_1
             x = S2DConv3d(b0 * 2, stride=2, dtype=self.dtype,
-                          name="down1")(x1_1)
+                          quantize=self.quantize, name="down1")(x1_1)
             if self.tap == "down1":
                 return x
         else:
@@ -310,7 +325,7 @@ class UnetEncoder(nn.Module):
             if self.tap == "en2":
                 return x2_1
             x = S2DConv3d(b0 * 4, stride=2, dtype=self.dtype,
-                          name="down2")(x2_1)
+                          quantize=self.quantize, name="down2")(x2_1)
             if self.tap == "down2":
                 return x
         else:
@@ -348,15 +363,19 @@ class DeUpCat(nn.Module):
     (cls_wise_former.py:716-729)."""
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    quantize: str = "none"  # pw class covers conv1/conv3 (>=64ch gate in
+    # layers.Conv3d); the transpose conv stays float (thin channels)
 
     @nn.compact
     def __call__(self, x, skip):
         x = Conv3d(self.out_channels, kernel_size=1, padding=0,
-                   dtype=self.dtype, name="conv1")(x)
+                   dtype=self.dtype, quantize=self.quantize,
+                   name="conv1")(x)
         y = ConvTranspose3d(self.out_channels, dtype=self.dtype, name="up")(x)
         y = jnp.concatenate([skip, y], axis=-1)
         y = Conv3d(self.out_channels, kernel_size=1, padding=0,
-                   dtype=self.dtype, name="conv3")(y)
+                   dtype=self.dtype, quantize=self.quantize,
+                   name="conv3")(y)
         return y
 
 
@@ -375,23 +394,28 @@ class DeUpCatS2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     s2d_input: bool = False
+    quantize: str = "none"  # pw class: conv1/conv3; deconv class: up
 
     @nn.compact
     def __call__(self, x, skip8):
         if self.s2d_input:
             x = S2DConv3d(self.out_channels, kernel_size=1,
                           groups=(x.shape[-1] // s2dops.B3,),
-                          dtype=self.dtype, name="conv1")(x)
+                          dtype=self.dtype, quantize=self.quantize,
+                          name="conv1")(x)
             x = s2dops.depth_to_space(x)
         else:
             x = Conv3d(self.out_channels, kernel_size=1, padding=0,
-                       dtype=self.dtype, name="conv1")(x)
-        y8 = S2DDeconv(self.out_channels, dtype=self.dtype, name="up")(x)
+                       dtype=self.dtype, quantize=self.quantize,
+                       name="conv1")(x)
+        y8 = S2DDeconv(self.out_channels, dtype=self.dtype,
+                       quantize=self.quantize, name="up")(x)
         skip_fine = skip8.shape[-1] // s2dops.B3
         y8 = jnp.concatenate([skip8, y8], axis=-1)
         return S2DConv3d(self.out_channels, kernel_size=1,
                          groups=(skip_fine, self.out_channels),
-                         dtype=self.dtype, name="conv3")(y8)
+                         dtype=self.dtype, quantize=self.quantize,
+                         name="conv3")(y8)
 
 
 class Decoder(nn.Module):
@@ -432,7 +456,8 @@ class Decoder(nn.Module):
         if self.tap == "x8":
             return x8
 
-        y4 = DeUpCat(e // 4, dtype=self.dtype, name="deup4")(x8, x3_1)
+        y4 = DeUpCat(e // 4, dtype=self.dtype,
+                     quantize=self.quantize, name="deup4")(x8, x3_1)
         y4 = EnBlock2(e // 4, dtype=self.dtype,
                       quantize=self.quantize, name="deblock4")(y4)
         y4 = EnBlock2(e // 4, dtype=self.dtype,
@@ -444,7 +469,8 @@ class Decoder(nn.Module):
             Block2H = _remat_wrap(_EnBlock2S2D, self.remat,
                                   self.remat_policy,
                                   fused_norms=self.fused_norms)
-            y3 = DeUpCatS2D(e // 8, dtype=self.dtype, name="deup3")(y4, x2_1)
+            y3 = DeUpCatS2D(e // 8, dtype=self.dtype,
+                            quantize=self.quantize, name="deup3")(y4, x2_1)
             y3 = Block2H(e // 8, dtype=self.dtype, conv3=self.conv3,
                          quantize=self.quantize, name="deblock3")(y3)
             y3 = Block2H(e // 8, dtype=self.dtype, conv3=self.conv3,
@@ -457,7 +483,8 @@ class Decoder(nn.Module):
             if self.tap == "y3d":
                 return y3
         else:
-            y3 = DeUpCat(e // 8, dtype=self.dtype, name="deup3")(y4, x2_1)
+            y3 = DeUpCat(e // 8, dtype=self.dtype,
+                         quantize=self.quantize, name="deup3")(y4, x2_1)
             y3 = EnBlock2(e // 8, dtype=self.dtype, name="deblock3")(y3)
             y3 = EnBlock2(e // 8, dtype=self.dtype, name="deblock3_1")(y3)
 
@@ -469,6 +496,7 @@ class Decoder(nn.Module):
             # conv1 runs there (full lanes) and d2s moves 16ch, not 32
             y2 = DeUpCatS2D(e // 16, dtype=self.dtype,
                             s2d_input=self.s2d_half,
+                            quantize=self.quantize,
                             name="deup2")(y3, x1_1)
             y2 = Block2(e // 16, dtype=self.dtype, conv3=self.conv3,
                         quantize=self.quantize, name="deblock2")(y2)
@@ -488,7 +516,8 @@ class Decoder(nn.Module):
                 y.astype(jnp.float32).reshape(n, d, h, w, s2dops.B3,
                                               self.num_classes), axis=-1)
             return s2dops.depth_to_space(y.reshape(n, d, h, w, cb))
-        y2 = DeUpCat(e // 16, dtype=self.dtype, name="deup2")(y3, x1_1)
+        y2 = DeUpCat(e // 16, dtype=self.dtype,
+                     quantize=self.quantize, name="deup2")(y3, x1_1)
         y2 = EnBlock2(e // 16, dtype=self.dtype, name="deblock2")(y2)
         y2 = EnBlock2(e // 16, dtype=self.dtype, name="deblock2_1")(y2)
         y = Conv3d(self.num_classes, kernel_size=1, padding=0,

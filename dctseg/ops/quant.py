@@ -39,6 +39,42 @@ import jax.numpy as jnp
 
 _QMAX = 127.0
 
+# Op classes the quantize spec can address (VERDICT r4 item 1: the int8
+# rung's float residue had to be accounted per op class, then measured):
+#   conv3  — 3^3 stride-1 convs (dense-s2d stages + >=64ch direct stages);
+#            the original, measured-default "int8" coverage.
+#   pw     — pointwise (1x1x1) convs: the DeUpCat/DeUpCatS2D conv1/conv3
+#            block-diagonal s2d pointwise convs and >=64ch plain 1x1s.
+#   deconv — the S2DDeconv upsample (1x1 conv on the coarse grid).
+#   down   — stride-2 downsampling convs (s2d down1/down2; plain >=64ch
+#            stride-2 convs were always in conv3).
+OP_CLASSES = ("conv3", "pw", "deconv", "down")
+
+
+def enabled(quantize: str, op: str) -> bool:
+    """True when the quantize spec routes op class ``op`` through int8.
+
+    Spec grammar: ``"none"``/empty (nothing), ``"int8"`` (conv3 only — the
+    shipped default), ``"int8+pw+deconv"`` (conv3 plus listed extras),
+    ``"int8_all"`` (every class).  Unknown tokens raise so a typo'd spec
+    fails loudly instead of silently running float."""
+    if op not in OP_CLASSES:
+        raise ValueError(f"unknown quantize op class {op!r}; "
+                         f"expected one of {OP_CLASSES}")
+    if not quantize or quantize == "none":
+        return False
+    head, *extras = quantize.split("+")
+    if head not in ("int8", "int8_all"):
+        raise ValueError(f"unknown quantize spec {quantize!r}; expected "
+                         "'none', 'int8[+pw][+deconv][+down]' or 'int8_all'")
+    for tok in extras:
+        if tok not in OP_CLASSES:
+            raise ValueError(f"unknown quantize op class {tok!r} in spec "
+                             f"{quantize!r}; expected one of {OP_CLASSES}")
+    if head == "int8_all":
+        return True
+    return op == "conv3" or op in extras
+
 
 def weight_scales(w: jnp.ndarray) -> jnp.ndarray:
     """Symmetric per-output-channel scales for a DHWIO (or IO) kernel."""

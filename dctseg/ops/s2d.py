@@ -230,10 +230,13 @@ def conv3x3_s2d(x8: jnp.ndarray, w: jnp.ndarray,
     "fine" wins for Ci >= 32 (XLA's strided-conv emitter reaches ~50 TF/s raw
     there, beating dense's 8x arithmetic), "dense" for narrower inputs.
 
-    ``quantize="int8"`` applies to the dense strategy (the MXU-bound one:
-    contraction 27*8Ci); the fine strategy stays float."""
+    ``quantize`` is the ModelConfig spec (dctseg/ops/quant.py): the conv3
+    op class applies to the dense strategy (the MXU-bound one: contraction
+    27*8Ci); the fine strategy stays float."""
     strategy = strategy or CONV3_STRATEGY
     ci = w.shape[3]
     if strategy == "fine" or (strategy == "auto" and ci >= 32):
         return conv3d_fine_s2dout(depth_to_space(x8), fine_conv_kernel(w))
-    return conv3d_s2d(x8, conv_kernel(w), padding=(1, 1), quantize=quantize)
+    from dctseg.ops.quant import enabled
+    q = "int8" if enabled(quantize, "conv3") else "none"
+    return conv3d_s2d(x8, conv_kernel(w), padding=(1, 1), quantize=q)

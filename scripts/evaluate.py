@@ -66,10 +66,12 @@ def parse_args(argv=None):
                    help="fp32 compute (default bf16: the fp32 B=8 batched "
                         "forward exceeds 16GB HBM on v5e)")
     p.add_argument("--pallas-attention", action="store_true")
-    p.add_argument("--quantize", default="none", choices=["none", "int8"],
-                   help="int8: dynamic post-training quantization of the "
-                        "MXU-bound convs (v5e int8 MXU runs 2x bf16 peak); "
-                        "changes numerics, so parity evals keep 'none'")
+    p.add_argument("--quantize", default="none",
+                   help="int8 PTQ spec (dctseg/ops/quant.py): 'int8' = the "
+                        "MXU-bound 3^3 convs (v5e int8 MXU runs 2x bf16 "
+                        "peak); extend with '+pw'/'+deconv'/'+down' or "
+                        "'int8_all'; changes numerics, so parity evals "
+                        "keep 'none'")
     p.add_argument("--spatial-shards", type=int, default=1,
                    help="multi-chip eval: shard each volume's D axis over "
                         "this many devices; TTA/tiling variants also fan "

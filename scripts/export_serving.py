@@ -34,8 +34,8 @@ def parse_args(argv=None):
     p.add_argument("--base-channels", type=int, default=16)
     p.add_argument("--fp32", action="store_true",
                    help="fp32 compute (default bf16, the eval default)")
-    p.add_argument("--quantize", default="none", choices=["none", "int8"],
-                   help="int8 PTQ execution strategy (ModelConfig.quantize)")
+    p.add_argument("--quantize", default="none",
+                   help="int8 PTQ spec (ModelConfig.quantize; 'int8' or op-class extensions like 'int8+pw'/'int8_all')")
     p.add_argument("--input-shape", type=int, nargs=3, default=None,
                    metavar=("D", "H", "W"),
                    help="volume spatial shape the bundle accepts "

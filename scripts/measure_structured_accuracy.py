@@ -23,6 +23,7 @@ remote compiles dominate otherwise):
 
     python scripts/measure_structured_accuracy.py
 """
+import argparse
 import dataclasses
 import os
 import sys
@@ -33,6 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantize", default="int8",
+                    help="PTQ spec to compare against bf16 (e.g. 'int8', "
+                         "'int8+pw', 'int8_all' — dctseg/ops/quant.py)")
+    args = ap.parse_args()
     from bench import _wait_for_accelerator
     _wait_for_accelerator()
     import jax
@@ -71,7 +77,8 @@ def main():
 
     # --- 2. bf16 vs int8 tiled inference on structured full volumes ---
     model_f = build_model(cfg.model)
-    model_q = build_model(dataclasses.replace(cfg.model, quantize="int8"))
+    model_q = build_model(dataclasses.replace(cfg.model,
+                                          quantize=args.quantize))
     pf = Predictor(model_f, params)
     pq = Predictor(model_q, params)
 

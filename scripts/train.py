@@ -85,9 +85,11 @@ def parse_args(argv=None):
                         "saves the MXU conv outputs and recomputes only "
                         "norms/activations, 'none' disables block remat "
                         "(needs the activation memory).  Default: 'none' "
-                        "under --amp (measured 23%% faster and fits at "
-                        "B=1 128^3 bf16 — docs/PERF.md remat sweep), "
-                        "'full' for fp32 where activations are 2x")
+                        "only for --amp with batch-size 1 and img-dim "
+                        "<= 128 (the exact configuration measured 23%% "
+                        "faster and fitting on a 16 GB chip — docs/PERF.md "
+                        "remat sweep); everything else (fp32, larger "
+                        "batches/volumes) keeps 'full'")
     p.add_argument("--device-prefetch", type=int, default=1,
                    help="stage the next batch's H2D transfer from a feeder "
                         "thread while the current step runs (0 = "

@@ -101,6 +101,28 @@ def test_fused_dispatch_matches_staged(tiny_predictor):
                                   np.asarray(pred.tta_probs(xt)))
 
 
+def test_fold_params_applies_on_fused_dispatch_paths(tiny_predictor):
+    """Predictor(fold_params=True, fuse_dispatch=True) must bake the
+    params into the fused TTA/tiling executables too (ADVICE r4: the
+    combination used to quietly keep params as runtime args), and
+    update_params must rebuild them."""
+    pred, xt = tiny_predictor
+    both = Predictor(pred.model, pred.params, fuse_dispatch=True,
+                     fold_params=True)
+    # rounding-close, not bit-exact: folding changes transform op order
+    np.testing.assert_allclose(
+        np.asarray(both.tta_probs(xt), np.float32),
+        np.asarray(pred.tta_probs(xt), np.float32), atol=1e-5)
+    # the fused executable closes over params: a checkpoint swap must
+    # rebuild it, not silently keep answering with the old weights
+    params2 = jax.tree.map(lambda a: a * 1.5, pred.params)
+    pred2 = Predictor(pred.model, params2)
+    both.update_params(params2)
+    np.testing.assert_allclose(
+        np.asarray(both.tta_probs(xt), np.float32),
+        np.asarray(pred2.tta_probs(xt), np.float32), atol=1e-5)
+
+
 def test_tiled_probs_batch_matches_per_volume():
     """The V-volume batched tiling path must equal V independent
     tiled_probs calls (same crops, same stitch, batch-parallel forward)."""

@@ -94,6 +94,53 @@ def test_quantized_model_probs_close_to_float():
     assert agree > 0.98, agree
 
 
+def test_quantize_spec_grammar():
+    """enabled() parses the op-class spec and fails loudly on typos."""
+    import pytest
+    assert not quant.enabled("none", "conv3")
+    assert not quant.enabled("", "pw")
+    assert quant.enabled("int8", "conv3")
+    assert not quant.enabled("int8", "pw")
+    assert not quant.enabled("int8", "deconv")
+    assert quant.enabled("int8+pw", "pw")
+    assert quant.enabled("int8+pw", "conv3")
+    assert not quant.enabled("int8+pw", "down")
+    assert quant.enabled("int8+pw+deconv+down", "down")
+    for op in quant.OP_CLASSES:
+        assert quant.enabled("int8_all", op)
+    with pytest.raises(ValueError, match="unknown quantize"):
+        quant.enabled("int8+pointwise", "pw")
+    with pytest.raises(ValueError, match="unknown quantize"):
+        quant.enabled("fp8", "conv3")
+    with pytest.raises(ValueError, match="op class"):
+        quant.enabled("int8", "matmul")
+
+
+def test_int8_all_is_pure_execution_strategy_with_bounded_drift():
+    """quantize='int8_all' (pointwise + deconv + stride-2 convs in int8
+    too) must keep the identical param tree and stay within PTQ rounding
+    noise of the float model — the correctness side of the r5 residue
+    measurement (speed is measured on chip, docs/PERF.md)."""
+    import dataclasses
+    mf, _, params, x = _tiny_pair()
+    cfg_a = dataclasses.replace(tiny_model_config(img_dim=16, top_num=2),
+                                quantize="int8_all")
+    ma = build_model(cfg_a)
+    params_a = jax.jit(lambda k: ma.init(k, x, train=False))(
+        jax.random.PRNGKey(0))
+    flat_f = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_a = jax.tree_util.tree_flatten_with_path(params_a)[0]
+    assert [p for p, _ in flat_f] == [p for p, _ in flat_a]
+    pf = np.asarray(jax.jit(
+        lambda p, v: mf.apply(p, v, train=False)[0])(params, x), np.float32)
+    pa = np.asarray(jax.jit(
+        lambda p, v: ma.apply(p, v, train=False)[0])(params, x), np.float32)
+    drift = np.abs(pa - pf)
+    assert drift.mean() < 0.015, drift.mean()
+    agree = (pa.argmax(-1) == pf.argmax(-1)).mean()
+    assert agree > 0.97, agree
+
+
 def test_trainer_rejects_quantized_config(tmp_path):
     import dataclasses
     import pytest

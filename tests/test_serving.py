@@ -450,6 +450,183 @@ def test_server_coalesces_concurrent_single_volume_requests():
         server.shutdown()
 
 
+class _LazyOut:
+    """Mimics jax's async dispatch: the bundle call returns immediately
+    and ``np.asarray`` (the fetch) blocks for ``delay`` — so tests can
+    observe whether the coalescer overlaps dispatch with fetch."""
+
+    def __init__(self, arr, delay, on_fetch):
+        self._arr, self._delay, self._on_fetch = arr, delay, on_fetch
+
+    def __array__(self, dtype=None, copy=None):
+        import time as _t
+        _t.sleep(self._delay)
+        self._on_fetch(_t.monotonic())
+        a = np.asarray(self._arr)
+        return a.astype(dtype) if dtype is not None else a
+
+
+class _AsyncFakeBundle(_FakePairedBundle):
+    """Paired bundle whose device calls are async (dispatch returns a
+    lazy handle; the fetch costs ``fetch_delay``), recording dispatch and
+    fetch-completion timestamps."""
+
+    def __init__(self, v=2, fetch_delay=0.3):
+        super().__init__(v=v)
+        self.fetch_delay = fetch_delay
+        self.dispatch_times = []
+        self.fetch_done_times = []
+
+    def labels(self, x):
+        import time as _t
+        x = np.asarray(x)
+        self.calls.append(x.shape)
+        self.dispatch_times.append(_t.monotonic())
+        out = np.round(x.mean(axis=(1, 2, 3, 4))[:, None, None, None]
+                       * 100).astype(np.int32) * np.ones((1, 2, 2, 2),
+                                                         np.int32)
+        return _LazyOut(out, self.fetch_delay,
+                        self.fetch_done_times.append)
+
+    predict = labels
+
+
+def _serve_coalescing(fake, wait_s):
+    import threading
+    from dctseg.infer.server import BundleServer
+    server = BundleServer(fake, port=0, warmup=False,
+                          coalesce_wait_s=wait_s)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, f"http://127.0.0.1:{server.port}"
+
+
+def _post_predict(base, vol, output="labels"):
+    import io
+    import urllib.request
+    req = urllib.request.Request(
+        base + f"/v1/predict?output={output}",
+        data=_npy_bytes(vol), method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return np.load(io.BytesIO(r.read()))
+
+
+def test_coalescer_mixed_output_group_dispatches_both_before_fetch():
+    """A mixed labels/probs group must enqueue BOTH device programs
+    back-to-back (async dispatch) instead of serializing two
+    dispatch+fetch round trips (VERDICT r4 item 5): the second dispatch
+    happens BEFORE the first fetch completes."""
+    import threading
+    fake = _AsyncFakeBundle(v=2, fetch_delay=0.4)
+    server, base = _serve_coalescing(fake, wait_s=0.5)
+    try:
+        vol = np.random.default_rng(0).normal(
+            size=(1, 4, 4, 4, 2)).astype(np.float32)
+        results = {}
+
+        def post(output):
+            results[output] = _post_predict(base, vol, output)
+
+        threads = [threading.Thread(target=post, args=(o,))
+                   for o in ("labels", "probs")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert set(results) == {"labels", "probs"}
+        for out in results.values():
+            assert out.shape == (1, 2, 2, 2)
+        assert len(fake.dispatch_times) == 2
+        assert len(fake.fetch_done_times) == 2
+        # both programs were in flight together: dispatch #2 preceded the
+        # completion of fetch #1
+        assert fake.dispatch_times[1] < min(fake.fetch_done_times), (
+            fake.dispatch_times, fake.fetch_done_times)
+    finally:
+        server.shutdown()
+
+
+def test_coalescer_pipelines_across_groups():
+    """Group i+1's device program must be dispatched while group i's
+    fetch is still pending (depth-2 pipeline — the eval loop's measured
+    dispatch pattern, docs/PERF.md)."""
+    import threading
+    fake = _AsyncFakeBundle(v=2, fetch_delay=0.5)
+    server, base = _serve_coalescing(fake, wait_s=0.15)
+    try:
+        rng = np.random.default_rng(1)
+        vols = [rng.normal(size=(1, 4, 4, 4, 2)).astype(np.float32)
+                for _ in range(4)]
+        results = [None] * 4
+
+        def post(i):
+            results[i] = _post_predict(base, vols[i])
+
+        # 4 concurrent single-volume clients on a V=2 bundle -> 2 groups
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i in range(4):
+            want = round(float(vols[i].mean()) * 100)
+            np.testing.assert_array_equal(
+                results[i], np.full((1, 2, 2, 2), want, np.int32))
+        assert len(fake.dispatch_times) == 2, fake.calls
+        # group 2 dispatched before group 1's fetch completed
+        assert fake.dispatch_times[1] < min(fake.fetch_done_times), (
+            fake.dispatch_times, fake.fetch_done_times)
+    finally:
+        server.shutdown()
+
+
+def test_coalescer_stop_fails_stranded_submitters_fast():
+    """A submit racing stop() must get a prompt error, not sit out the
+    5 s liveness poll (ADVICE r4): the submit lock orders every enqueue
+    before the shutdown sentinel, and the dispatcher's drain fails what
+    it finds behind it."""
+    import threading
+    import time as _t
+    from dctseg.infer.server import BundleServer
+    fake = _FakePairedBundle(v=2)
+    server = BundleServer(fake, port=0, warmup=False, coalesce_wait_s=5.0)
+    co = server._coalescer
+    vol = np.zeros((1, 4, 4, 4, 2), np.float32)
+    outcome = {}
+
+    def submitter():
+        t0 = _t.monotonic()
+        try:
+            co.submit(vol, "labels")
+            outcome["ok"] = True
+        except RuntimeError as e:
+            outcome["err"] = str(e)
+        outcome["dt"] = _t.monotonic() - t0
+
+    # the submitter blocks inside the 5 s coalesce window (group of 1 on
+    # a V=2 bundle) when stop() lands
+    th = threading.Thread(target=submitter)
+    th.start()
+    _t.sleep(0.2)
+    t_stop = _t.monotonic()
+    server.shutdown()
+    th.join(timeout=10)
+    assert not th.is_alive()
+    # the in-window group either completes (dispatcher finishes the open
+    # group on shutdown) or errors — but promptly, not after the 5 s
+    # window + liveness poll
+    assert _t.monotonic() - t_stop < 3.0
+    assert outcome.get("ok") or "stopped" in outcome.get("err", "")
+    # and a submit AFTER stop raises immediately
+    t0 = _t.monotonic()
+    try:
+        co.submit(vol, "labels")
+        raise AssertionError("expected RuntimeError after stop()")
+    except RuntimeError:
+        pass
+    assert _t.monotonic() - t0 < 1.0
+
+
 def test_coalescer_device_failure_fans_out_and_server_survives():
     """A failure while assembling or running a coalesced group (e.g.
     MemoryError concatenating V volumes on a low-memory host) must fan
