@@ -45,11 +45,14 @@ class Conv3d(nn.Module):
     """3D convolution on NDHWC with torch-style explicit padding.
 
     ``quantize`` (a spec, dctseg/ops/quant.py): the conv3 class routes
-    MXU-bound instances (3^3 kernel with >=64 input channels — the
-    quarter-res/bottleneck stages, where bf16 already reaches ~18 TF/s and
-    only the int8 MXU path is faster) through the dynamic-PTQ conv; the pw
-    class likewise for >=64ch pointwise (1x1) convs.  Thinner convs stay
-    float, as their cost is lane padding, not MXU rate.  Param tree is
+    MXU-bound instances (3^3 kernel with >=64 input channels) through
+    the dynamic-PTQ conv; the pw class likewise for >=64ch pointwise
+    (1x1) convs.  Thinner convs stay float, as their cost is lane
+    padding, not MXU rate.  ``spatial_gate`` additionally skips
+    quantization when the per-item spatial volume is below
+    quant.MIN_SPATIAL_ELEMS — opt-in per instance, for the small direct
+    decoder stages where dynamic-quant overhead measured slower than
+    the MXU gain (docs/PERF.md "Round 5: int8 residue").  Param tree is
     identical either way (checkpoint-compatible execution strategy)."""
     features: int
     kernel_size: int = 3
@@ -58,14 +61,19 @@ class Conv3d(nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     quantize: str = "none"
+    spatial_gate: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from dctseg.ops import quant as quant_mod
         from dctseg.ops.quant import enabled
         k = self.kernel_size
         p = self.padding
         quant = (self.quantize != "none" and x.shape[-1] >= 64
                  and self.use_bias
+                 # opt-in gate: small-spatial direct stages measured
+                 # slower under dynamic int8 (quant.MIN_SPATIAL_ELEMS)
+                 and (not self.spatial_gate or quant_mod.spatial_ok(x))
                  and ((k == 3 and enabled(self.quantize, "conv3"))
                       or (k == 1 and enabled(self.quantize, "pw"))))
         if quant:

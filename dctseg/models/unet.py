@@ -215,20 +215,27 @@ class _EnBlock2(nn.Module):
     """Post-activation residual block: [conv3 -> IN -> LeakyReLU] x2 + skip.
 
     (cls_wise_former.py:691-713; DeBlock :732-754 is identical.)
+
+    ``spatial_gate``: forwarded to Conv3d — the decoder's small direct
+    stages (enblock8*/deblock4*) opt in so int8 skips them below
+    quant.MIN_SPATIAL_ELEMS (measured slower there, docs/PERF.md r5).
     """
     channels: int
     dtype: jnp.dtype = jnp.float32
     eps: float = 1e-5
     quantize: str = "none"
     fused_norms: bool = False
+    spatial_gate: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = Conv3d(self.channels, dtype=self.dtype,
-                   quantize=self.quantize, name="conv1")(x)
+                   quantize=self.quantize,
+                   spatial_gate=self.spatial_gate, name="conv1")(x)
         y = _norm_act(y, self.eps, "lrelu", self.fused_norms, False)
         y = Conv3d(self.channels, dtype=self.dtype,
-                   quantize=self.quantize, name="conv2")(y)
+                   quantize=self.quantize,
+                   spatial_gate=self.spatial_gate, name="conv2")(y)
         return _norm_act(y, self.eps, "lrelu", self.fused_norms, False,
                          residual=x)
 
@@ -449,18 +456,18 @@ class Decoder(nn.Module):
         e = self.embedding_dim
         x8 = Conv3d(e // 2, kernel_size=1, padding=0, dtype=self.dtype,
                     name="down_channel")(x)
-        x8 = EnBlock2(e // 2, dtype=self.dtype,
+        x8 = EnBlock2(e // 2, dtype=self.dtype, spatial_gate=True,
                       quantize=self.quantize, name="enblock8_1")(x8)
-        x8 = EnBlock2(e // 2, dtype=self.dtype,
+        x8 = EnBlock2(e // 2, dtype=self.dtype, spatial_gate=True,
                       quantize=self.quantize, name="enblock8_2")(x8)
         if self.tap == "x8":
             return x8
 
         y4 = DeUpCat(e // 4, dtype=self.dtype,
                      quantize=self.quantize, name="deup4")(x8, x3_1)
-        y4 = EnBlock2(e // 4, dtype=self.dtype,
+        y4 = EnBlock2(e // 4, dtype=self.dtype, spatial_gate=True,
                       quantize=self.quantize, name="deblock4")(y4)
-        y4 = EnBlock2(e // 4, dtype=self.dtype,
+        y4 = EnBlock2(e // 4, dtype=self.dtype, spatial_gate=True,
                       quantize=self.quantize, name="deblock4_1")(y4)
         if self.tap == "y4":
             return y4

@@ -50,6 +50,32 @@ _QMAX = 127.0
 #            stride-2 convs were always in conv3).
 OP_CLASSES = ("conv3", "pw", "deconv", "down")
 
+# Spatial gate for small DIRECT (plain-grid) convs — MEASURED NEGATIVE,
+# ships disabled (threshold 0).  The r5 decoder split
+# (scripts/measure_int8_residue.py; docs/PERF.md "Round 5: int8
+# residue") showed dynamic int8 LOSING on the small-spatial direct
+# stages in isolation (deblock4 @32^3 64ch: -1.25 ms at B=16; enblock8
+# @16^3: -0.12), suggesting a shape gate.  Both gate variants then
+# measured SLOWER whole-model (scripts/measure_int8_gate.py, B=16
+# folded): a global trace-shape gate 262.0 -> 264.0 ms (it also sweeps
+# in the middle's conv_mid/conv_sem/sum_fusion convs at 32^3/16^3,
+# never isolated by the enc/dec split) and the surgical per-instance
+# gate (decoder enblock8*/deblock4* only) 261.9 -> 262.6 ms — in the
+# full program XLA's cross-stage fusion absorbs the standalone deltas,
+# and breaking the uniform int8 dataflow costs more than the quant
+# passes save.  The machinery stays as a tested opt-in
+# (layers.Conv3d(spatial_gate=True) + this threshold > 0) for hardware
+# where the trade-off differs.
+MIN_SPATIAL_ELEMS = 0  # 0 = gate inert (the measured optimum on v5e)
+
+
+def spatial_ok(x) -> bool:
+    """True when x (NDHWC) is large enough for dynamic int8 to pay."""
+    d = 1
+    for s in x.shape[1:-1]:
+        d *= int(s)
+    return d >= MIN_SPATIAL_ELEMS
+
 
 def enabled(quantize: str, op: str) -> bool:
     """True when the quantize spec routes op class ``op`` through int8.

@@ -116,6 +116,35 @@ def main():
         del compiled
         return ts
 
+    def chain_time_scalar(fn, arrays, rounds=3):
+        """Like chain_time, but the scan carry is one f32 scalar added
+        (broadcast) to the first array inside the body.  Carrying the
+        (B,128^3,4) input itself forces a carry layout that lane-pads
+        the 4-channel dim 32x (512 MB -> 16 GB) and OOMs HBM at B=16;
+        the scalar carry keeps the chain data-dependent without coupling
+        the input's layout to the scan."""
+        def chained(*a):
+            def body(c, _):
+                x = a[0] + c.astype(a[0].dtype)
+                y = fn(x, *a[1:])
+                leaf = jax.tree.leaves(y)[0]
+                return leaf.astype(jnp.float32).ravel()[0] * 0.0, None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=rep)
+            return c
+        compiled = jax.jit(chained).lower(*arrays).compile()
+
+        def once():
+            t0 = time.perf_counter()
+            y = compiled(*arrays)
+            float(y)
+            return (time.perf_counter() - t0) / rep
+
+        once()
+        ts = sorted(once() for _ in range(rounds))
+        del compiled
+        return ts
+
     if want("split"):
         print(f"\n== decoder sections (B={b} bf16 vs int8, cumulative "
               "taps) ==", flush=True)
@@ -158,6 +187,7 @@ def main():
                   f"(saved {(row['none'] - row['int8']) * 1e3:+6.2f})",
                   flush=True)
 
+    if want("split") or want("enc"):
         print(f"\n== encoder total (B={b} bf16 vs int8) ==", flush=True)
         enc_params = {"params": params["params"]["unet"]}
         xin = devrand((b, d, d, d, 4), jnp.float32, seed=5)
@@ -168,7 +198,7 @@ def main():
             def f(x_, em=em):
                 return em.apply(enc_params, x_, train=False)
 
-            ts = chain_time(f, (xin,))
+            ts = chain_time_scalar(f, (xin,))
             print(f"  [{quant:5s}] encoder: {ts[0] * 1e3:8.2f} ms (rounds "
                   f"{[round(t * 1e3, 2) for t in ts]})", flush=True)
 
@@ -180,28 +210,13 @@ def main():
                      "int8+down", "int8+pw+deconv", "int8_all"):
             m = build_model(dataclasses.replace(cfg, quantize=spec))
 
-            def chain_fold(x_, m=m):
-                def fwd(c):
-                    return m.apply(params, c, train=False)[0].astype(
-                        c.dtype)
-                c, _ = jax.lax.scan(lambda c, _: (fwd(c), None), x_, None,
-                                    length=rep)
-                return c
+            def fwd(x_, m=m):
+                return m.apply(params, x_, train=False)[0]
 
             try:
-                compiled = jax.jit(chain_fold).lower(xq).compile()
-
-                def once(compiled=compiled):
-                    t0 = time.perf_counter()
-                    y = compiled(xq)
-                    float(y.ravel()[0].astype("float32"))
-                    return (time.perf_counter() - t0) / rep
-
-                once()
-                ts = sorted(once() for _ in range(3))
+                ts = chain_time_scalar(fwd, (xq,))
                 print(f"  {spec:16s} {ts[0] * 1e3:8.2f} ms/fwd (rounds "
                       f"{[round(t * 1e3, 2) for t in ts]})", flush=True)
-                del compiled
             except Exception as e:  # noqa: BLE001 - OOM is a result here
                 print(f"  {spec:16s} FAILED: {type(e).__name__}: "
                       f"{str(e)[:160]}", flush=True)

@@ -192,3 +192,39 @@ def test_fold_params_bit_exact_and_swappable():
         base.update_params(params2)
         fold.update_params(params2)
         check(base.seg_probs(x), fold.seg_probs(x))
+
+
+def test_spatial_gate_skips_quant_below_threshold(monkeypatch):
+    """Conv3d(spatial_gate=True) must run the FLOAT conv when the
+    per-item spatial volume is below quant.MIN_SPATIAL_ELEMS and the
+    int8 conv at/above it.  The gate ships INERT (threshold 0) — both
+    gate variants measured slower whole-model on chip (docs/PERF.md r5
+    "int8 residue") — so the shipped default must quantize everywhere,
+    and the opt-in must only bite when the threshold is raised.
+    Checked by output comparison against the ungated float/int8 paths
+    on shared params."""
+    from dctseg.models.layers import Conv3d
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 64)).astype(np.float32))
+
+    def out(quantize, spatial_gate):
+        m = Conv3d(64, dtype=jnp.float32, quantize=quantize,
+                   spatial_gate=spatial_gate)
+        p = m.init(jax.random.PRNGKey(0), x)
+        return np.asarray(m.apply(p, x), np.float32)
+
+    y_float = out("none", False)
+    y_int8 = out("int8", False)
+    assert np.abs(y_int8 - y_float).max() > 1e-4  # int8 really differs
+
+    # shipped default (threshold 0): gate inert even when opted in
+    assert quant.MIN_SPATIAL_ELEMS == 0
+    np.testing.assert_array_equal(out("int8", True), y_int8)
+    # raised threshold, below it (4^3 < 33^3): gated conv is bit-float
+    monkeypatch.setattr(quant, "MIN_SPATIAL_ELEMS", 33 ** 3)
+    np.testing.assert_array_equal(out("int8", True), y_float)
+    # ... but only for instances that opted in
+    np.testing.assert_array_equal(out("int8", False), y_int8)
+    # at/above the (monkeypatched tiny) threshold: int8 flows again
+    monkeypatch.setattr(quant, "MIN_SPATIAL_ELEMS", 4 ** 3)
+    np.testing.assert_array_equal(out("int8", True), y_int8)
