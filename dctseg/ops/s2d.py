@@ -210,14 +210,79 @@ def conv3d_s2d(x: jnp.ndarray, w8: jnp.ndarray,
     """conv_general_dilated on the s2d view (NDHWC/DHWIO).
 
     ``quantize="int8"`` executes the conv s8 x s8 -> s32 on the int8 MXU
-    path (dynamic PTQ, dctseg/ops/quant.py) — inference-only."""
+    path (dynamic PTQ, dctseg/ops/quant.py) — inference-only.
+
+    The 3^3 stride-1 SAME case (the dense-strategy hot shape) can carry
+    an explicit VJP (:data:`CONV3_BWD` = "explicit") — built to attack
+    the 3.0-3.9x in-model gradient cost the backward section profile
+    found at this shape, then MEASURED NEGATIVE in-model (143.5 vs
+    112.4 ms/step; docs/PERF.md "Round 5: inside the backward").  The
+    default is XLA autodiff."""
     if quantize == "int8":
         from dctseg.ops.quant import conv3d_int8
         return conv3d_int8(x, w8, (stride,) * 3, (padding,) * 3)
+    if (CONV3_BWD == "explicit" and stride == 1 and padding == (1, 1)
+            and w8.shape[:3] == (3, 3, 3)):
+        return _conv3_cv(x, w8)
     return jax.lax.conv_general_dilated(
         x, w8.astype(x.dtype), (stride,) * 3, (padding,) * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=x.dtype)
+
+
+# --- explicit backward for the 3^3 stride-1 SAME dense conv -----------------
+#
+# docs/PERF.md "Round 5: inside the backward": the full-res s2d conv
+# gradients (en1 + deup2/deblock2) cost 49 ms of the 72 ms B=1 train
+# backward at 3.0-3.9x their forward, where dx + dW each ~ one forward
+# conv (2x total).  This explicit VJP — dx as the dense conv of the
+# cotangent with the spatially-flipped, io-transposed kernel, dW as 27
+# shifted (N*Z*Y*X, Ci)^T @ (N*Z*Y*X, Co) MXU matmuls over the padded
+# input with f32 accumulation — is arithmetically the same gradient.
+# MEASURED NEGATIVE on chip (scripts/measure_backward_attack.py +
+# scripts/measure_remat.py --conv-bwd explicit, 2026-08-20): isolated,
+# autodiff dx+dW 12.33 ms vs explicit 12.64 vs hybrid 12.72 (equal
+# within noise — the isolated conv backward is only 1.69x its forward,
+# so the in-model 3-3.9x is an interaction/layout effect, not the conv
+# grad op); in-model, the explicit VJP makes the step WORSE: 143.5 vs
+# 112.4 ms/step (the 27-read dW loses the fusion context autodiff's
+# single-read grad conv keeps).  Default "xla" = autodiff; "explicit"
+# remains a tested opt-in (module-level so tests/benchmarks can flip).
+CONV3_BWD = "xla"
+
+
+def _conv3_raw(x: jnp.ndarray, w8: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x, w8.astype(x.dtype), (1, 1, 1), ((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+
+
+@jax.custom_vjp
+def _conv3_cv(x: jnp.ndarray, w8: jnp.ndarray) -> jnp.ndarray:
+    return _conv3_raw(x, w8)
+
+
+def _conv3_cv_fwd(x, w8):
+    return _conv3_raw(x, w8), (x, w8)
+
+
+def _conv3_cv_bwd(res, g):
+    x, w8 = res
+    wt = jnp.flip(w8, (0, 1, 2)).swapaxes(3, 4)
+    dx = _conv3_raw(g, wt)
+    d, h, w = x.shape[1:4]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    rows = [jnp.einsum("nzyxi,nzyxo->io",
+                       xp[:, a:a + d, b:b + h, c:c + w, :], g,
+                       preferred_element_type=jnp.float32)
+            for a in range(3) for b in range(3) for c in range(3)]
+    dw = (jnp.stack(rows, 0).reshape(3, 3, 3, *rows[0].shape)
+          .astype(w8.dtype))
+    return dx, dw
+
+
+_conv3_cv.defvjp(_conv3_cv_fwd, _conv3_cv_bwd)
 
 
 def conv3x3_s2d(x8: jnp.ndarray, w: jnp.ndarray,

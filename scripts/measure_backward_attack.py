@@ -109,6 +109,23 @@ def main():
 
     conv_cv.defvjp(conv_cv_fwd, conv_cv_bwd)
 
+    # hybrid: explicit dx + XLA's own kernel-grad conv for dW (in case the
+    # 27-matmul dW is bandwidth-bound at the real shape: it reads the
+    # padded input 27 times where XLA's grad conv reads it once)
+    @functools.partial(jax.custom_vjp, nondiff_argnums=())
+    def conv_hy(xx, ww):
+        return conv(xx, ww)
+
+    def conv_hy_fwd(xx, ww):
+        return conv(xx, ww), (xx, ww)
+
+    def conv_hy_bwd(res, gg):
+        xx, ww = res
+        _, pull = jax.vjp(lambda w_: conv(xx, w_), ww)
+        return dx_explicit(gg, ww), pull(gg)[0]
+
+    conv_hy.defvjp(conv_hy_fwd, conv_hy_bwd)
+
     if args.check:
         def loss_ref(xx, ww):
             return jnp.mean(jnp.square(conv(xx, ww).astype(jnp.float32)))
@@ -188,6 +205,8 @@ def main():
     fwd_chain(dx_explicit, (g, w), "explicit dx (flipped-kernel conv)")
     fwd_chain(dw_explicit, (x, g), "explicit dW (27-offset matmuls)")
     t_cv = grad_chain(conv_cv, (0, 1), (x, w), "custom-VJP dx+dW")
+    grad_chain(conv_hy, (0, 1), (x, w),
+               "hybrid VJP (explicit dx + XLA dW)")
     print(f"\n  fwd {t_fwd * 1e3:.2f}  autodiff bwd "
           f"{(t_auto - t_fwd) * 1e3:.2f}  custom bwd "
           f"{(t_cv - t_fwd) * 1e3:.2f} ms", flush=True)

@@ -41,12 +41,20 @@ def main():
     ap.add_argument("--base-channels", type=int, default=16)
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (logic smoke; numbers meaningless)")
+    ap.add_argument("--conv-bwd", default=None, choices=("explicit", "xla"),
+                    help="override s2d.CONV3_BWD for the whole sweep "
+                         "(A/B the explicit conv3 VJP, docs/PERF.md "
+                         "'Round 5: inside the backward')")
     args = ap.parse_args()
     rep = args.rep
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.conv_bwd:
+        from dctseg.ops import s2d as _s2d
+        _s2d.CONV3_BWD = args.conv_bwd
+        print(f"CONV3_BWD = {args.conv_bwd}", flush=True)
     from dctseg.utils.jax_setup import enable_compile_cache
     enable_compile_cache()
     import jax.numpy as jnp

@@ -211,3 +211,38 @@ def test_measure_wall_budget_decomposition(monkeypatch):
     got = out["forward"] + out["crops"] + out["stitch"] \
         + out["dispatch_residue"]
     assert abs(got - 50.0) < 0.05, out
+
+
+def test_probe_ms_pipelined_fallback(monkeypatch):
+    """When the chain program fails to compile (observed: TPU remote-
+    compile HTTP 500 on the 537 MB-carry stitch chain), _probe_ms must
+    fall back to depth-2 pipelined dispatches and label the method."""
+    def boom(fn, x, rep=6, rounds=3):
+        raise RuntimeError("remote_compile: HTTP 500")
+    monkeypatch.setattr(bench, "_chain_time", boom)
+    ms, how = bench._probe_ms(lambda x: x + 1.0,
+                              jnp.zeros((4, 4), jnp.float32), 2, "toy")
+    assert how == "pipelined" and ms > 0
+
+
+def test_measure_wall_budget_survives_probe_failure(monkeypatch):
+    """A probe whose program fails entirely costs its field (None) and
+    the residue, not the whole budget."""
+    monkeypatch.setattr(bench, "VOL_SHAPE", (8, 8, 8))
+    monkeypatch.setattr(bench, "CROP", 8)
+
+    class _Pred:
+        def _crops_batch_fn(self, x):
+            return jnp.concatenate([x, x], axis=0)
+
+        def _stitch_batch_fn(self, t, ref):
+            raise RuntimeError("compiler crash")
+
+    group = jnp.zeros((2, 8, 8, 8, 4), jnp.float32)
+    out = bench.measure_wall_budget(_Pred(), group,
+                                    wall_ms_per_vol=50.0,
+                                    fwd_ms_per_vol=40.0, rep=2)
+    assert out["crops"] > 0
+    assert out["stitch"] is None
+    assert out["dispatch_residue"] is None
+    assert out["argmax_info"] > 0

@@ -176,3 +176,55 @@ def test_model_s2d_train_step_gradients():
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-5, rtol=5e-3)
+
+
+def test_conv3_explicit_vjp_matches_autodiff():
+    """The explicit conv3 VJP (CONV3_BWD="explicit", docs/PERF.md "Round
+    5: inside the backward") must produce the same dx/dW as XLA autodiff
+    — f32 inputs, exact contraction order aside."""
+    x8 = s2d.space_to_depth(jax.random.normal(KEY, (2, 8, 8, 8, 2)))
+    w8 = s2d.conv_kernel(
+        jax.random.normal(jax.random.PRNGKey(3), (3, 3, 3, 2, 2)) * 0.3)
+
+    def loss(mode, xx, ww):
+        old = s2d.CONV3_BWD
+        s2d.CONV3_BWD = mode
+        try:
+            y = s2d.conv3d_s2d(xx, ww, padding=(1, 1))
+        finally:
+            s2d.CONV3_BWD = old
+        return jnp.mean(jnp.square(y))
+
+    gx_ref, gw_ref = jax.grad(lambda a, b: loss("xla", a, b),
+                              argnums=(0, 1))(x8, w8)
+    gx_cv, gw_cv = jax.grad(lambda a, b: loss("explicit", a, b),
+                            argnums=(0, 1))(x8, w8)
+    np.testing.assert_allclose(np.asarray(gx_cv), np.asarray(gx_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_cv), np.asarray(gw_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_conv3_explicit_vjp_dtypes_match_autodiff():
+    """bf16 activations with an f32 kernel (the train configuration: f32
+    params cast inside conv3d_s2d) must yield grads with the INPUT dtypes
+    under both backward modes."""
+    x8 = s2d.space_to_depth(
+        jax.random.normal(KEY, (1, 8, 8, 8, 2))).astype(jnp.bfloat16)
+    w8 = s2d.conv_kernel(
+        jax.random.normal(jax.random.PRNGKey(3), (3, 3, 3, 2, 2)) * 0.3)
+
+    def loss(mode, xx, ww):
+        old = s2d.CONV3_BWD
+        s2d.CONV3_BWD = mode
+        try:
+            y = s2d.conv3d_s2d(xx, ww, padding=(1, 1))
+        finally:
+            s2d.CONV3_BWD = old
+        return jnp.mean(jnp.square(y.astype(jnp.float32)))
+
+    for mode in ("xla", "explicit"):
+        gx, gw = jax.grad(lambda a, b: loss(mode, a, b),
+                          argnums=(0, 1))(x8, w8)
+        assert gx.dtype == jnp.bfloat16, mode
+        assert gw.dtype == jnp.float32, mode
