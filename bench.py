@@ -218,20 +218,61 @@ def _chain_time(fn, x, rep=6, rounds=3):
     return min(once() for _ in range(rounds))
 
 
+def _chain_time_synth(fn, shape, dtype, rep=6, rounds=3):
+    """Like ``_chain_time`` but the input is synthesized INSIDE the scan
+    body (``jnp.full(shape, carry_scalar)``) so the chain carries only a
+    scalar — the giant-carry chain crashes the TPU remote compiler at
+    the 537 MB stitch input (HTTP 500 tpu_compile_helper).  Costs one
+    full-bandwidth fill of ``shape`` per iteration (~0.7 ms at 537 MB on
+    v5e HBM), small and noted vs the programs probed.  Value-agnostic:
+    only valid for fns whose cost does not depend on input values (the
+    crops/stitch/argmax programs are all such)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(s0):
+        def body(s, _):
+            y = fn(jnp.full(shape, s, dtype))
+            return s + y.ravel()[0].astype(jnp.float32) * 0, None
+        s, _ = jax.lax.scan(body, s0, None, length=rep)
+        return s
+
+    compiled = jax.jit(chain).lower(jnp.float32(1.0)).compile()
+
+    def once():
+        t0 = time.perf_counter()
+        y = compiled(jnp.float32(1.0))
+        float(y)
+        return (time.perf_counter() - t0) / rep
+
+    once()
+    return min(once() for _ in range(rounds))
+
+
 def _probe_ms(fn, x, rep, label):
-    """Per-call ms of a device program, chain-timed, with a pipelined
-    fallback.  The chain (one scan program) excludes dispatch, but some
-    chained programs crash the TPU remote compiler (observed: HTTP 500
-    tpu_compile_helper on the 537 MB-carry stitch/crops chains — same
-    family as the monolithic-program crashes in docs/PERF.md); the
-    fallback times ``rep`` depth-2-pipelined dispatches instead, which
-    includes relay dispatch overlap and is labeled as such."""
+    """Per-call ms of a device program: chain-timed, falling back to a
+    synthesized-input chain, then to pipelined dispatches.  The plain
+    chain (one scan program) excludes dispatch but carries the full
+    input through scan, which crashes the TPU remote compiler at large
+    shapes (observed: HTTP 500 tpu_compile_helper on the 537 MB-carry
+    stitch chain — same family as the monolithic-program crashes in
+    docs/PERF.md); the synth chain keeps the dispatch-free timing by
+    generating the input inside the scan body from a scalar carry; the
+    last-resort fallback times ``rep`` depth-2-pipelined dispatches,
+    which includes relay dispatch overlap and is labeled as such."""
     try:
         return _chain_time(fn, x, rep) * 1e3, "chain"
     except Exception as e:  # noqa: BLE001 - fall back, keep field alive
         print(f"bench: {label} chain probe failed ({type(e).__name__}: "
-              f"{str(e)[:100]}); pipelined fallback", file=sys.stderr,
+              f"{str(e)[:100]}); synth-chain fallback", file=sys.stderr,
               flush=True)
+    try:
+        return (_chain_time_synth(fn, x.shape, x.dtype, rep) * 1e3,
+                "synth-chain")
+    except Exception as e:  # noqa: BLE001 - fall back, keep field alive
+        print(f"bench: {label} synth-chain probe failed "
+              f"({type(e).__name__}: {str(e)[:100]}); pipelined fallback",
+              file=sys.stderr, flush=True)
     import jax.numpy as jnp
 
     def consume(y):
@@ -327,9 +368,10 @@ def measure_wall_budget(predictor, group, wall_ms_per_vol,
                 "(probs are fetched, not argmaxed) and excluded from the "
                 "residue; residue = wall - forward - crops - stitch "
                 "(host dispatch + relay per-program overhead); "
-                "probe_methods records chain (dispatch-free scan) vs "
-                "pipelined (depth-2 dispatches, relay overlap included) "
-                "per field",
+                "probe_methods per field: chain / synth-chain (both "
+                "dispatch-free scans; synth generates the input inside "
+                "the scan body) vs pipelined (depth-2 dispatches, relay "
+                "overlap included)",
     }
 
 

@@ -213,16 +213,38 @@ def test_measure_wall_budget_decomposition(monkeypatch):
     assert abs(got - 50.0) < 0.05, out
 
 
-def test_probe_ms_pipelined_fallback(monkeypatch):
-    """When the chain program fails to compile (observed: TPU remote-
+def test_probe_ms_synth_chain_fallback(monkeypatch):
+    """When the full-carry chain fails to compile (observed: TPU remote-
     compile HTTP 500 on the 537 MB-carry stitch chain), _probe_ms must
-    fall back to depth-2 pipelined dispatches and label the method."""
+    fall back to the scalar-carry synth chain (still dispatch-free) and
+    label the method."""
     def boom(fn, x, rep=6, rounds=3):
         raise RuntimeError("remote_compile: HTTP 500")
     monkeypatch.setattr(bench, "_chain_time", boom)
     ms, how = bench._probe_ms(lambda x: x + 1.0,
                               jnp.zeros((4, 4), jnp.float32), 2, "toy")
+    assert how == "synth-chain" and ms > 0
+
+
+def test_probe_ms_pipelined_last_resort(monkeypatch):
+    """Both chain formulations failing must still yield a number, via
+    depth-2 pipelined dispatches, labeled as such."""
+    def boom(*a, **k):
+        raise RuntimeError("remote_compile: HTTP 500")
+    monkeypatch.setattr(bench, "_chain_time", boom)
+    monkeypatch.setattr(bench, "_chain_time_synth", boom)
+    ms, how = bench._probe_ms(lambda x: x + 1.0,
+                              jnp.zeros((4, 4), jnp.float32), 2, "toy")
     assert how == "pipelined" and ms > 0
+
+
+def test_chain_time_synth_matches_chain_time():
+    """The synth chain times the same program class as the full-carry
+    chain (toy shapes; asserts it runs and returns sane positive time)."""
+    fn = lambda x: (x * 2.0).sum(axis=-1, keepdims=True)  # noqa: E731
+    t_synth = bench._chain_time_synth(fn, (64, 64), jnp.float32, rep=3,
+                                      rounds=2)
+    assert t_synth > 0
 
 
 def test_measure_wall_budget_survives_probe_failure(monkeypatch):
