@@ -454,7 +454,9 @@ def measure_train_efficiency(rep=4):
             "train_mfu": round(ach / PEAK_TFLOPS_BF16, 3),
             "train_note": "B=1 128^3 bf16, remat none (the measured "
                           "--amp default); executed-HLO flops vs bf16 "
-                          "peak",
+                          "peak.  Per-device B=1 is also the measured "
+                          "per-sample optimum (PERF.md batch sweep: "
+                          "B=2 +34%/sample)",
         })
     return fields
 

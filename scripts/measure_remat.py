@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--modes", default="fwd,grad,step")
     ap.add_argument("--img-dim", type=int, default=128,
                     help="spatial size (CPU smoke runs use 32)")
+    ap.add_argument("--batches", default="1",
+                    help="comma list of batch sizes to sweep (per-device "
+                         "B; the reference trains batch 1/GPU over 4 "
+                         "GPUs = global 4, /root/reference/train.py:94)")
     ap.add_argument("--base-channels", type=int, default=16)
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (logic smoke; numbers meaningless)")
@@ -78,36 +82,45 @@ def main():
     params = jax.jit(lambda k: model0.init(k, x0, train=False))(key)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(1, d, d, d, 4))
-                    .astype(np.float32)).astype(jnp.bfloat16)
-    tgt = jnp.asarray(rng.integers(0, 4, (1, d, d, d)).astype(np.int32))
-    edg = jnp.asarray(rng.integers(0, 9, (1, d, d, d)).astype(np.int32))
     keys = jax.random.split(jax.random.PRNGKey(1), rep)
 
     tcfg = TrainConfig()
     tx = make_optimizer(tcfg, steps_per_epoch=250)
     opt_state = jax.jit(tx.init)(params)
 
-    def timed(label, compiled, args_):
-        def once():
-            t0 = time.perf_counter()
-            out = compiled(*args_)
-            leaf = jax.tree.leaves(out)[0]
-            float(leaf.ravel()[0].astype("float32"))
-            return (time.perf_counter() - t0) / rep
+    def make_timed(batch):
+        def timed(label, compiled, args_):
+            def once():
+                t0 = time.perf_counter()
+                out = compiled(*args_)
+                leaf = jax.tree.leaves(out)[0]
+                float(leaf.ravel()[0].astype("float32"))
+                return (time.perf_counter() - t0) / rep
 
-        once()
-        ts = sorted(once() for _ in range(3))
-        print(f"  {label:12s} {ts[0] * 1e3:8.1f} ms/step (rounds "
-              f"{[round(t * 1e3, 1) for t in ts]})", flush=True)
-        return ts[0]
+            once()
+            ts = sorted(once() for _ in range(3))
+            print(f"  {label:12s} {ts[0] * 1e3:8.1f} ms/step "
+                  f"({ts[0] * 1e3 / batch:6.1f} ms/sample, rounds "
+                  f"{[round(t * 1e3, 1) for t in ts]})", flush=True)
+            return ts[0]
+        return timed
 
-    for policy in args.policies.split(","):
+    for b_and_policy in [(b, p)
+                         for b in map(int, args.batches.split(","))
+                         for p in args.policies.split(",")]:
+        batch, policy = b_and_policy
+        timed = make_timed(batch)
+        x = jnp.asarray(rng.normal(size=(batch, d, d, d, 4))
+                        .astype(np.float32)).astype(jnp.bfloat16)
+        tgt = jnp.asarray(
+            rng.integers(0, 4, (batch, d, d, d)).astype(np.int32))
+        edg = jnp.asarray(
+            rng.integers(0, 9, (batch, d, d, d)).astype(np.int32))
         remat = policy != "none"
         mcfg = dataclasses.replace(base, remat=remat,
                                    remat_policy=policy if remat else "full")
         model = build_model(mcfg)
-        print(f"\n== remat_policy={policy} ==", flush=True)
+        print(f"\n== batch={batch} remat_policy={policy} ==", flush=True)
 
         def loss_fn(p, key):
             outs = model.apply(p, x, train=True, rngs={"dropout": key})

@@ -44,7 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--criterion", default="softmax_dice")
     p.add_argument("--seed", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=1,
-                   help="per-device batch size")
+                   help="per-device batch size.  B=1 is the measured "
+                        "per-sample optimum on v5e (B=2 costs +34%%/"
+                        "sample — docs/PERF.md 'per-device train batch "
+                        "sweep'); scale with data-parallel devices/"
+                        "processes or --grad-accum instead")
     p.add_argument("--start-epoch", type=int, default=0)
     p.add_argument("--end-epoch", type=int, default=1000)
     p.add_argument("--save-freq", type=int, default=50)
