@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--base-channels", type=int, default=16)
     ap.add_argument("--cpu", action="store_true",
                     help="run on CPU (logic smoke; numbers meaningless)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="micro-batches per step (applies to 'step' mode; "
+                         "every batch in --batches must divide evenly).  "
+                         "grad_accum=B with batch B runs B=1 micro-steps "
+                         "— the memory-free alternative to per-device "
+                         "batching (docs/PERF.md batch sweep)")
     ap.add_argument("--conv-bwd", default=None, choices=("explicit", "xla"),
                     help="override s2d.CONV3_BWD for the whole sweep "
                          "(A/B the explicit conv3 VJP, docs/PERF.md "
@@ -120,7 +126,9 @@ def main():
         mcfg = dataclasses.replace(base, remat=remat,
                                    remat_policy=policy if remat else "full")
         model = build_model(mcfg)
-        print(f"\n== batch={batch} remat_policy={policy} ==", flush=True)
+        ga = f" grad_accum={args.grad_accum}" if args.grad_accum != 1 else ""
+        print(f"\n== batch={batch} remat_policy={policy}{ga} ==",
+              flush=True)
 
         def loss_fn(p, key):
             outs = model.apply(p, x, train=True, rngs={"dropout": key})
@@ -153,7 +161,8 @@ def main():
                       (params,))
 
             if "step" in args.modes:
-                step = make_train_step(model, tx, CRITERIA["softmax_dice"])
+                step = make_train_step(model, tx, CRITERIA["softmax_dice"],
+                                       grad_accum=args.grad_accum)
 
                 def step_chain(state):
                     def body(s, key):
