@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Train-step device-time profile: remat-policy sweep + fwd/bwd/update split.
+"""Train-step device-time profile: remat × batch × grad-accum sweeps.
 
 VERDICT r3 item 3: the B=1 128^3 train step was one opaque 0.16 s device
 number, and block remat (unet.py) was all-or-nothing.  This script
@@ -16,6 +16,12 @@ pitfalls": single-call timings on this container are relay-dispatch
 bound; chaining through the evolving state/params makes every iteration
 depend on the last).  H2D is excluded by design — the transfer story is
 measured separately (scripts/measure_train_step.py).
+
+Round 5 added the per-device batch axis (``--batches 1,2,4``) and the
+grad-accum axis (``--grad-accum B`` through the production
+``make_train_step(grad_accum=...)`` scan): B=1 is the measured per-sample
+optimum and accumulation holds that cost where direct batching loses
+34-79 % (docs/PERF.md "Round 5: per-device train batch sweep").
 
 Run on the idle chip:  python scripts/measure_remat.py [--rep 6]
 """
